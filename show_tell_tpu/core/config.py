@@ -1,0 +1,192 @@
+"""Config system: config.json + argparse parity with the reference CLI.
+
+The reference merges a per-dataset block of ``config.json`` with argparse
+flags whose *defaults* are the JSON values (reference main.py:31-76), and
+passes the resulting flat ``params`` dict everywhere.  We reproduce that
+contract exactly — every flag from reference main.py:37-64 /
+Attention/main_attn.py:41-70 is accepted with identical names, types and
+defaults — and add TPU-specific extensions under clearly-separated names.
+
+Two JSON default blocks exist in the reference: the GRU baseline
+(config.json) and the LSTM/Attention variants (LSTM/config.json =
+Attention/config.json) which bump ``embedding_length`` to 512 and add
+``nos_cnn_filters`` / ``attn_dim``.  Both are embedded here verbatim in
+semantics (same keys, same values) so the framework is usable without any
+external file; an on-disk config.json (``--config`` or ``./config.json``)
+overrides the embedded defaults, preserving the reference workflow.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+from typing import Any, Dict, Optional
+
+# Reference config.json:2-27 (MSCOCO block) and :28-53 (Flickr block).
+DEFAULT_CONFIG: Dict[str, Dict[str, Any]] = {
+    "MSCOCO": {
+        "data_dir": "./data/COCO",
+        "output_dir": "./output/COCO",
+        "train_ann_path": "annotations/captions_train2014.json",
+        "test_ann_path": "annotations/captions_val2014.json",
+        "vocabulary_path": "vocab.pkl",
+        "train_img_dir": "train2014",
+        "test_img_dir": "val2014",
+        "vocab_threshold": 5,
+        "embedding_length": 256,
+        "num_hidden_units": 512,
+        "lr": 0.01,
+        "momentum": 0.9,
+        "num_epochs": 100,
+        "num_layers": 5,
+        "batch_size": 32,
+        "shuffle": 1,
+        "num_workers": 0,
+        "resume_training": 0,
+        "resume_model_train": "model_1",
+        "is_training": 1,
+        "is_testing": 0,
+        "load_model_test": "model_50",
+        "device": "gpu",
+        "sub_batch_test": 10,
+    },
+    "Flickr": {
+        "data_dir": "./data/Flickr",
+        "output_dir": "./output/Flickr",
+        "train_ann_path": "annotations/captions.tsv",
+        "test_ann_path": "",
+        "vocabulary_path": "vocab.pkl",
+        "train_img_dir": "train",
+        "test_img_dir": "train",
+        "vocab_threshold": 5,
+        "embedding_length": 256,
+        "num_hidden_units": 512,
+        "lr": 0.01,
+        "momentum": 0.9,
+        "num_epochs": 100,
+        "num_layers": 5,
+        "batch_size": 32,
+        "shuffle": 1,
+        "num_workers": 0,
+        "resume_training": 0,
+        "resume_model_train": "1",
+        "is_training": 1,
+        "is_testing": 0,
+        "load_model_test": "1",
+        "device": "gpu",
+        "sub_batch_test": 10,
+    },
+}
+
+# Reference LSTM/config.json = Attention/config.json: embedding 512, CNN
+# filter count and attention dim added, device/sub_batch_test absent.
+ATTN_LSTM_CONFIG: Dict[str, Dict[str, Any]] = copy.deepcopy(DEFAULT_CONFIG)
+for _block in ATTN_LSTM_CONFIG.values():
+    _block["embedding_length"] = 512
+    _block["nos_cnn_filters"] = 2048
+    _block["attn_dim"] = 512
+    _block.pop("device", None)
+    _block.pop("sub_batch_test", None)
+
+
+def _load_config_block(
+    data_source: str,
+    variant: str,
+    config_path: Optional[str],
+) -> Dict[str, Any]:
+    """Resolve the per-dataset config block, preferring an on-disk file."""
+    if config_path and os.path.isfile(config_path):
+        with open(config_path) as f:
+            return json.load(f)[data_source]
+    base = ATTN_LSTM_CONFIG if variant in ("lstm", "attn", "attn_lstm") else DEFAULT_CONFIG
+    return copy.deepcopy(base[data_source])
+
+
+def build_arg_parser(
+    variant: str = "gru",
+    data_source: str = "MSCOCO",
+    config_path: Optional[str] = None,
+) -> argparse.ArgumentParser:
+    """Argparse surface identical to the reference entry points.
+
+    variant: 'gru' (main.py), 'lstm' (LSTM/main_lstm.py), 'attn'
+    (Attention/main_attn.py), 'attn_lstm' (Attention/main_attn_LSTM.py).
+    Flags and defaults follow reference main.py:37-64 and
+    Attention/main_attn.py:41-70.
+    """
+    config = _load_config_block(data_source, variant, config_path)
+    p = argparse.ArgumentParser()
+    add = p.add_argument
+
+    add("--data_dir", type=str, default=config["data_dir"], help="path to the data directory")
+    add("--output_dir", type=str, default=config["output_dir"], help="path to the output directory")
+    add("--train_ann_path", type=str, default=config["train_ann_path"], help="path to training annotations")
+    add("--test_ann_path", type=str, default=config["test_ann_path"], help="path to validation annotations")
+    add("--vocabulary_path", type=str, default=config["vocabulary_path"], help="path to the vocabulary file")
+    add("--train_img_dir", type=str, default=config["train_img_dir"], help="path to the images for training")
+    add("--test_img_dir", type=str, default=config["test_img_dir"], help="path to the images for validation")
+    add("--vocab_threshold", type=int, default=config["vocab_threshold"], help="threshold for including words in the data vocabulary")
+    add("--embedding_length", type=int, default=config["embedding_length"], help="length of the embedding to be used by CNN and RNN")
+    if variant in ("attn", "attn_lstm"):
+        add("--nos_cnn_filters", type=int, default=config.get("nos_cnn_filters", 2048), help="number of channels in the final features of the CNN")
+        add("--attn_dim", type=int, default=config.get("attn_dim", 512), help="dimensions of the attention feature of the CNN")
+    add("--num_hidden_units", type=int, default=config["num_hidden_units"], help="hidden units to be used by the RNN")
+    add("--optimizer_type", type=str, default="SGD", help="optimizer to be used at the time of training")
+    add("--resnet_version", type=int, default=101, help="ResNet version to be used for the encoding job")
+    if variant in ("attn", "attn_lstm"):
+        add("--alpha_c", type=float, default=1.0, help="Weighting term for Doubly Stochastic Attention")
+    add("--lr", type=float, default=config["lr"], help="learning rate")
+    add("--momentum", type=float, default=config["momentum"], help="momentum for the optimizer")
+    add("--num_epochs", type=int, default=config["num_epochs"], help="number of epochs for training")
+    add("--num_layers", type=int, default=config["num_layers"], help="layers to be used by the RNN")
+    add("--batch_size", type=int, default=config["batch_size"], help="batch size to be used for training data loader")
+    add("--shuffle", type=bool, default=config["shuffle"], help="indicator for shuffling the training data while loading")
+    add("--num_workers", type=int, default=config["num_workers"], help="num of workers")
+    add("--resume_training", type=bool, default=config["resume_training"], help="indicator for resuming the training")
+    add("--resume_model_train", type=str, default=config["resume_model_train"], help="model for resuming the training")
+    add("--is_training", type=int, default=config["is_training"], help="indicates whether the model needs to be trained")
+    add("--is_testing", type=int, default=config["is_testing"], help="indicates whether the model needs to be tested")
+    add("--load_model_test", type=str, default=config["load_model_test"], help="model number for inference")
+    if variant == "gru":
+        add("--device", type=str, default=config.get("device", "gpu"), help="device to be used - gpu/cpu/tpu")
+        add("--sub_batch_test", type=int, default=config.get("sub_batch_test", 10), help="Number of mini-batches to be used from test while training")
+        add("--beam_size", type=int, default=0, help="Beam size in testing")
+
+    # --- TPU-native extensions (not present in the reference CLI) ---
+    add("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"], help="matmul/activation dtype on device (float32 for parity, bfloat16 for speed)")
+    add("--dp", type=int, default=0, help="data-parallel mesh size; 0 = use all visible devices")
+    add("--use_pallas", type=int, default=0, help="use Pallas fused kernels for the decode hot loop where available")
+    add("--faithful_beam", type=int, default=0, help="replicate the reference rnn.py beam-search quirks exactly (batch=1) instead of standard cumulative-logprob beam")
+    add("--seed", type=int, default=1, help="global RNG seed (reference seeds torch/random with 1)")
+    add("--max_caption_length", type=int, default=25, help="decode length cap (reference rnn.py:39)")
+    return p
+
+
+def derive_paths(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Derived paths exactly as reference main.py:72-76."""
+    params["vocab_path"] = os.path.join(params["output_dir"], params["vocabulary_path"])
+    params["ann_path_train"] = os.path.join(params["data_dir"], params["train_ann_path"])
+    params["data_path_train"] = os.path.join(params["data_dir"], params["train_img_dir"])
+    params["ann_path_test"] = os.path.join(params["data_dir"], params["test_ann_path"])
+    params["data_path_test"] = os.path.join(params["data_dir"], params["test_img_dir"])
+    return params
+
+
+def load_params(
+    argv=None,
+    variant: str = "gru",
+    data_source: str = "MSCOCO",
+    config_path: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Parse argv into the flat ``params`` dict the whole framework consumes."""
+    parser = build_arg_parser(variant, data_source, config_path)
+    params = vars(parser.parse_args(argv))
+    params["variant"] = variant
+    params["data_source"] = data_source
+    derive_paths(params)
+    # Reference main.py:81-82: beam search is single-image only.
+    if params.get("beam_size", 0) and params["beam_size"] > 0:
+        params["batch_size"] = 1
+    return params

@@ -1,0 +1,191 @@
+"""COCO captioning dataset + batching, designed for a TPU input pipeline.
+
+Reference semantics reproduced (utils.py:23-103):
+  * one sample per *annotation* (caption), not per image (utils.py:32);
+  * JPEG -> RGB -> resize to 224x224 (utils.py:45, 84) — done on host with
+    PIL exactly like torchvision's Resize on a PIL image;
+  * captions lowercased + nltk-tokenized, wrapped with <start>/<end>
+    (utils.py:50-51);
+  * batches sorted by descending caption length and zero-padded
+    (utils.py:61-77); train loader shuffles and drops the last partial
+    batch (utils.py:92-94), test loader doesn't shuffle (utils.py:97-99).
+
+TPU-first differences (deliberate):
+  * images travel host->device as uint8 NHWC; the augmenting transform
+    (random flips, /255, mean/std normalize — utils.py:84-88) runs on
+    device inside the jitted step (`show_tell_tpu.data.transforms`), so the
+    PCIe/ICI transfer is 4x smaller and the elementwise work fuses into the
+    encoder's first conv;
+  * captions are padded to a *fixed* length per loader (static shapes — one
+    XLA program instead of one per batch-max-length); an explicit lengths
+    vector replaces torch's pack_padded_sequence;
+  * batches are produced by a background prefetch thread so host decode
+    overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from show_tell_tpu.data.coco import CocoCaptions
+from show_tell_tpu.vocab.tokenize import word_tokenize
+
+IMAGE_SIZE = 224
+# Fixed caption pad length: COCO train2014 captions tokenize to <= ~55
+# tokens; 64 (incl. <start>/<end>) covers all of them with headroom while
+# staying one static XLA shape.
+DEFAULT_PAD_LENGTH = 64
+
+
+class MSCOCO:
+    """Annotation-keyed COCO captions dataset (reference utils.py:23-59)."""
+
+    def __init__(self, ann_path: str, data_path: str, vocab, train: bool = True):
+        self.data_path = data_path
+        self.vocab = vocab
+        self.train = train
+        coco = CocoCaptions(ann_path)
+        self.annotation_ids = list(coco.anns.keys())
+        self.annotation_obj = coco
+
+    def __len__(self) -> int:
+        return len(self.annotation_ids)
+
+    def caption_ids(self, sample_idx: int) -> List[int]:
+        ann = self.annotation_obj.anns[self.annotation_ids[sample_idx]]
+        tokens = word_tokenize(str(ann["caption"]).lower())
+        v = self.vocab
+        return [v("<start>")] + [v(t) for t in tokens] + [v("<end>")]
+
+    def __getitem__(self, sample_idx: int) -> Tuple[str, np.ndarray, List[int]]:
+        ann = self.annotation_obj.anns[self.annotation_ids[sample_idx]]
+        image_path = self.annotation_obj.loadImgs(ann["image_id"])[0]["file_name"]
+        img = Image.open(os.path.join(self.data_path, image_path)).convert("RGB")
+        # torchvision Resize((224,224)) on a PIL image == PIL bilinear
+        # resize with antialias (utils.py:84).
+        img = img.resize((IMAGE_SIZE, IMAGE_SIZE), Image.BILINEAR)
+        image = np.asarray(img, dtype=np.uint8)  # HWC uint8
+        return image_path, image, self.caption_ids(sample_idx)
+
+
+def create_batch(
+    samples: Sequence[Tuple[str, np.ndarray, List[int]]],
+    pad_length: Optional[int] = DEFAULT_PAD_LENGTH,
+) -> Tuple[Tuple[str, ...], np.ndarray, np.ndarray, np.ndarray]:
+    """Collate samples: sort by descending caption length, zero-pad.
+
+    Matches reference utils.py:61-77 except the pad target is the fixed
+    ``pad_length`` (static shapes) instead of the batch max; tokens beyond
+    ``pad_length`` are truncated (never happens on real COCO at 64).
+    Returns (paths, images uint8 [B,H,W,3], captions int32 [B,T],
+    lengths int32 [B]).
+    """
+    samples = sorted(samples, key=lambda x: len(x[2]), reverse=True)
+    paths, images, captions = zip(*samples)
+    images = np.stack(images, 0)
+    lengths = np.array([min(len(c), pad_length) if pad_length else len(c) for c in captions], dtype=np.int32)
+    T = pad_length if pad_length else int(lengths.max())
+    target = np.zeros((len(captions), T), dtype=np.int32)
+    for i, cap in enumerate(captions):
+        L = lengths[i]
+        target[i, :L] = cap[:L]
+    return paths, images, target, lengths
+
+
+class DataLoader:
+    """Batched iterator with shuffling, drop_last, and thread prefetch."""
+
+    def __init__(
+        self,
+        dataset: MSCOCO,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 0,
+        pad_length: int = DEFAULT_PAD_LENGTH,
+        seed: int = 1,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.pad_length = pad_length
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        nb = len(self)
+        return [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+
+    def _load_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
+        samples = list(pool.map(self.dataset.__getitem__, idxs))
+        return create_batch(samples, self.pad_length)
+
+    def __iter__(self) -> Iterator[Tuple[Tuple[str, ...], np.ndarray, np.ndarray, np.ndarray]]:
+        batches = self._batch_indices()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def producer():
+            try:
+                for idxs in batches:
+                    q.put(self._load_batch(idxs, pool))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            pool.shutdown(wait=False)
+
+
+def get_data_loader(vocab, params: Dict[str, Any], run_type: str) -> DataLoader:
+    """Loader factory mirroring reference utils.py:79-103."""
+    if run_type == "train":
+        dataset = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab, train=True)
+        return DataLoader(
+            dataset,
+            batch_size=params["batch_size"],
+            shuffle=bool(params.get("shuffle", True)),
+            drop_last=True,
+            num_workers=params.get("num_workers", 0),
+            pad_length=params.get("pad_length", DEFAULT_PAD_LENGTH),
+            seed=params.get("seed", 1),
+        )
+    elif run_type == "test":
+        dataset = MSCOCO(params["ann_path_test"], params["data_path_test"], vocab, train=False)
+        return DataLoader(
+            dataset,
+            batch_size=params["batch_size"],
+            shuffle=False,
+            drop_last=False,
+            num_workers=params.get("num_workers", 0),
+            pad_length=params.get("pad_length", DEFAULT_PAD_LENGTH),
+            seed=params.get("seed", 1),
+        )
+    raise ValueError("Please specify a valid run type for data loader. %s doesn't exist." % (run_type,))

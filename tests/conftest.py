@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-virtual-device CPU JAX backend.
+
+Must run before jax initializes so multi-chip sharding tests (SURVEY.md §4e)
+can build an 8-device mesh without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,104 @@
+"""Mini-COCO fixture: synthetic JPEGs + handwritten annotation JSON."""
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+CAPTIONS = [
+    (1, 100, "A man riding a wave on top of a surfboard."),
+    (2, 100, "a man on a surfboard rides a big wave"),
+    (3, 101, "Two dogs playing with a red ball in the park."),
+    (4, 101, "a dog runs after a ball on green grass"),
+    (5, 102, "A plate of food with rice and vegetables."),
+    (6, 102, "rice and vegetables served on a white plate"),
+    (7, 103, "A group of people standing around a kitchen table."),
+    (8, 103, "people gather near a table in the kitchen"),
+    (9, 104, "A red bus driving down a city street."),
+    (10, 104, "the bus is driving down the street"),
+    (11, 105, "A cat sleeping on top of a wooden chair."),
+    (12, 105, "a cat sleeps on a chair near the window"),
+    (13, 106, "A man riding a horse on the beach at sunset."),
+    (14, 106, "a horse and rider walk along the beach"),
+    (15, 107, "A plate with a sandwich and a cup of coffee."),
+    (16, 107, "a sandwich sits on a plate next to coffee"),
+]
+
+IMAGE_IDS = sorted({img_id for _, img_id, _ in CAPTIONS})
+
+
+def build_mini_coco(root, split="train2014", image_size=64, seed=0):
+    """Create data_dir layout matching the reference config expectations."""
+    img_dir = os.path.join(root, split)
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    rng = np.random.RandomState(seed)
+    images = []
+    for img_id in IMAGE_IDS:
+        fname = "COCO_%s_%012d.jpg" % (split, img_id)
+        arr = rng.randint(0, 255, (image_size, image_size, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, fname), quality=90)
+        images.append({"id": img_id, "file_name": fname, "height": image_size, "width": image_size})
+
+    anns = [
+        {"id": ann_id, "image_id": img_id, "caption": caption}
+        for ann_id, img_id, caption in CAPTIONS
+    ]
+    ann = {"info": {}, "images": images, "annotations": anns, "licenses": []}
+    ann_file = "captions_%s.json" % split
+    with open(os.path.join(ann_dir, ann_file), "w") as f:
+        json.dump(ann, f)
+    return os.path.join(ann_dir, ann_file), img_dir
+
+
+def mini_params(root, out_dir, split="train2014", **overrides):
+    """Flat params dict pointing at the mini fixture."""
+    params = {
+        "data_dir": root,
+        "output_dir": out_dir,
+        "train_ann_path": "annotations/captions_%s.json" % split,
+        "test_ann_path": "annotations/captions_%s.json" % split,
+        "vocabulary_path": "vocab.pkl",
+        "train_img_dir": split,
+        "test_img_dir": split,
+        "vocab_threshold": 1,
+        "embedding_length": 32,
+        "num_hidden_units": 48,
+        "optimizer_type": "SGD",
+        "resnet_version": 18,
+        "lr": 0.01,
+        "momentum": 0.9,
+        "num_epochs": 1,
+        "num_layers": 2,
+        "batch_size": 4,
+        "shuffle": 1,
+        "num_workers": 0,
+        "resume_training": 0,
+        "resume_model_train": "model_1",
+        "is_training": 1,
+        "is_testing": 0,
+        "load_model_test": "model_1",
+        "device": "tpu",
+        "sub_batch_test": 2,
+        "beam_size": 0,
+        "seed": 1,
+        "pad_length": 24,
+        "variant": "gru",
+        "data_source": "MSCOCO",
+        "compute_dtype": "float32",
+        "dp": 0,
+        "use_pallas": 0,
+        "faithful_beam": 0,
+        "max_caption_length": 25,
+    }
+    params.update(overrides)
+    params["vocab_path"] = os.path.join(out_dir, params["vocabulary_path"])
+    params["ann_path_train"] = os.path.join(root, params["train_ann_path"])
+    params["data_path_train"] = os.path.join(root, params["train_img_dir"])
+    params["ann_path_test"] = os.path.join(root, params["test_ann_path"])
+    params["data_path_test"] = os.path.join(root, params["test_img_dir"])
+    os.makedirs(out_dir, exist_ok=True)
+    return params

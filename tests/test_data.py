@@ -1,0 +1,100 @@
+"""Data pipeline tests: COCO parser, dataset, batching, loader, transforms."""
+
+import numpy as np
+import pytest
+
+from show_tell_tpu.data import CocoCaptions, MSCOCO, create_batch, get_data_loader
+from show_tell_tpu.vocab import get_vocabulary
+
+from fixtures import build_mini_coco, mini_params, CAPTIONS, IMAGE_IDS
+
+
+@pytest.fixture
+def mini(tmp_path):
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"))
+    vocab = get_vocabulary("MSCOCO", params)
+    return params, vocab
+
+
+def test_coco_parser_indexes(mini):
+    params, _ = mini
+    coco = CocoCaptions(params["ann_path_train"])
+    assert list(coco.anns.keys()) == [c[0] for c in CAPTIONS]  # file order
+    assert set(coco.imgs.keys()) == set(IMAGE_IDS)
+    assert coco.loadImgs(100)[0]["file_name"].endswith("%012d.jpg" % 100)
+    assert coco.getAnnIds(100) == [1, 2]
+
+
+def test_dataset_one_sample_per_annotation(mini):
+    params, vocab = mini
+    ds = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab)
+    assert len(ds) == len(CAPTIONS)
+    path, image, caption = ds[0]
+    assert image.shape == (224, 224, 3) and image.dtype == np.uint8
+    assert caption[0] == vocab("<start>")
+    assert caption[-1] == vocab("<end>")
+    # 'a man riding a wave on top of a surfboard .' -> 11 tokens + 2 specials
+    assert len(caption) == 13
+
+
+def test_create_batch_sorts_and_pads(mini):
+    params, vocab = mini
+    ds = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab)
+    samples = [ds[i] for i in range(4)]
+    paths, images, captions, lengths = create_batch(samples, pad_length=24)
+    assert images.shape == (4, 224, 224, 3)
+    assert captions.shape == (4, 24)
+    assert list(lengths) == sorted(lengths, reverse=True)
+    for i in range(4):
+        assert (captions[i, lengths[i]:] == 0).all()
+        assert captions[i, lengths[i] - 1] == vocab("<end>")
+
+
+def test_loader_train_drops_last_and_shuffles(mini):
+    params, vocab = mini
+    loader = get_data_loader(vocab, params, "train")
+    batches = list(loader)
+    assert len(batches) == len(CAPTIONS) // params["batch_size"]
+    paths, images, captions, lengths = batches[0]
+    assert images.shape[0] == params["batch_size"]
+    assert captions.dtype == np.int32 and lengths.dtype == np.int32
+
+
+def test_loader_test_keeps_all(mini):
+    params, vocab = mini
+    loader = get_data_loader(vocab, params, "test")
+    n = sum(b[1].shape[0] for b in loader)
+    assert n == len(CAPTIONS)
+
+
+def test_loader_deterministic_with_seed(mini):
+    params, vocab = mini
+    l1 = get_data_loader(vocab, params, "train")
+    l2 = get_data_loader(vocab, params, "train")
+    b1 = [b[0] for b in l1]
+    b2 = [b[0] for b in l2]
+    assert b1 == b2
+
+
+def test_preprocess_images():
+    import jax
+
+    from show_tell_tpu.data.transforms import preprocess_images, IMAGENET_MEAN, IMAGENET_STD
+
+    imgs = np.random.randint(0, 255, (2, 8, 8, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(0)
+    out = preprocess_images(imgs, key, augment=False)
+    expected = (imgs.astype(np.float32) / 255.0 - np.array(IMAGENET_MEAN)) / np.array(IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+    # Augmented output must be one of the 4 flip combinations per sample.
+    out_aug = np.asarray(preprocess_images(imgs, key, augment=True))
+    for b in range(2):
+        candidates = [
+            expected[b],
+            expected[b, :, ::-1],
+            expected[b, ::-1, :],
+            expected[b, ::-1, ::-1],
+        ]
+        assert any(np.allclose(out_aug[b], c, atol=1e-5) for c in candidates)
