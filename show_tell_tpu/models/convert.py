@@ -21,7 +21,10 @@ import jax.numpy as jnp
 
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
-        return x.detach().cpu().numpy()
+        # Copy: .numpy() views torch memory, and jnp.asarray can be
+        # zero-copy on CPU — later in-place torch mutations (e.g. BN
+        # running-stat updates) must not leak into converted params.
+        return np.array(x.detach().cpu().numpy())
     return np.asarray(x)
 
 
