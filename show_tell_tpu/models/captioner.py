@@ -1,0 +1,158 @@
+"""The Captioner: encoder + decoder composition for all four model families.
+
+Mirrors the reference wiring (main.py:92-93, LSTM/main_lstm.py,
+Attention/main_attn{,_LSTM}.py:86-87):
+
+  variant 'gru'       ResNet pooled [B,E]   -> GRU decoder    (main.py)
+  variant 'lstm'      ResNet pooled [B,E]   -> LSTM decoder   (main_lstm.py)
+  variant 'attn'      ResNet spatial [B,C,49] -> attention GRU (main_attn.py)
+  variant 'attn_lstm' ResNet spatial [B,C,49] -> attention LSTM
+
+Only decoder + encoder-head parameters are trainable (main.py:96); the
+backbone is frozen (stop_gradient) but its BatchNorm running stats update
+in train mode, exactly like the reference's ``cnn.train()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from show_tell_tpu.models import attention as attn_mod
+from show_tell_tpu.models import decoder as dec_mod
+from show_tell_tpu.models.encoder import EncoderConfig, encoder_forward, init_encoder_params
+
+
+class CaptionerConfig(NamedTuple):
+    variant: str  # 'gru' | 'lstm' | 'attn' | 'attn_lstm'
+    resnet_version: int
+    embed_dim: int
+    hidden_dim: int
+    vocab_size: int
+    num_layers: int
+    nos_filters: int = 2048
+    attn_dim: int = 512
+    alpha_c: float = 1.0
+    max_caption_length: int = 25
+    start_token: int = 1
+
+    @property
+    def is_attention(self) -> bool:
+        return self.variant in ("attn", "attn_lstm")
+
+    @property
+    def cell_type(self) -> str:
+        return "gru" if self.variant in ("gru", "attn") else "lstm"
+
+    def encoder_config(self) -> EncoderConfig:
+        return EncoderConfig(self.resnet_version, self.embed_dim, spatial=self.is_attention)
+
+    def decoder_config(self):
+        if self.is_attention:
+            return attn_mod.AttnDecoderConfig(
+                self.cell_type,
+                self.embed_dim,
+                self.nos_filters,
+                self.attn_dim,
+                self.hidden_dim,
+                self.vocab_size,
+                self.num_layers,
+                self.max_caption_length,
+            )
+        return dec_mod.DecoderConfig(
+            self.cell_type,
+            self.embed_dim,
+            self.hidden_dim,
+            self.vocab_size,
+            self.num_layers,
+            self.max_caption_length,
+        )
+
+
+def init_captioner(key: jax.Array, cfg: CaptionerConfig):
+    """Returns (params, state): params = {'encoder': .., 'decoder': ..}."""
+    k_enc, k_dec = jax.random.split(key)
+    enc_params, enc_state = init_encoder_params(k_enc, cfg.encoder_config())
+    if cfg.is_attention:
+        dec_params = attn_mod.init_attn_decoder_params(k_dec, cfg.decoder_config())
+    else:
+        dec_params = dec_mod.init_decoder_params(k_dec, cfg.decoder_config())
+    return {"encoder": enc_params, "decoder": dec_params}, enc_state
+
+
+def split_trainable(params: Dict[str, Any]):
+    """(trainable, frozen): decoder + encoder head train; backbone doesn't
+    (reference main.py:96 optimizes rnn + linear_secondlast + last_layer)."""
+    trainable = {
+        "decoder": params["decoder"],
+        "encoder": {
+            "linear_secondlast_layer": params["encoder"]["linear_secondlast_layer"],
+            "last_layer": params["encoder"]["last_layer"],
+        },
+    }
+    frozen = {"encoder": {"resnet": params["encoder"]["resnet"]}}
+    return trainable, frozen
+
+
+def merge_params(trainable: Dict[str, Any], frozen: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        "decoder": trainable["decoder"],
+        "encoder": {
+            "resnet": frozen["encoder"]["resnet"],
+            "linear_secondlast_layer": trainable["encoder"]["linear_secondlast_layer"],
+            "last_layer": trainable["encoder"]["last_layer"],
+        },
+    }
+
+
+def captioner_loss(
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    cfg: CaptionerConfig,
+    images: jax.Array,  # [B,224,224,3] normalized float
+    captions: jax.Array,  # [B,T] int32
+    lengths: jax.Array,  # [B] int32
+    training: bool = True,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Teacher-forced loss (masked CE == packed CE; + alpha_c penalty for
+    attention variants, main_attn.py:130-131).  Returns (loss, new_state)."""
+    feats, new_state = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training)
+    if cfg.is_attention:
+        preds, alphas = attn_mod.attn_decoder_forward(params["decoder"], cfg.decoder_config(), feats, captions, lengths)
+        loss = dec_mod.masked_cross_entropy(preds, captions, lengths)
+        loss = loss + cfg.alpha_c * attn_mod.doubly_stochastic_penalty(alphas)
+    else:
+        logits = dec_mod.decoder_forward(params["decoder"], cfg.decoder_config(), feats, captions, lengths)
+        loss = dec_mod.masked_cross_entropy(logits, captions, lengths)
+    return loss, new_state
+
+
+def captioner_greedy_decode(
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    cfg: CaptionerConfig,
+    images: jax.Array,
+) -> jax.Array:
+    """Eval-mode encode + 25-step batched greedy decode -> [B, 25] ids."""
+    feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
+    if cfg.is_attention:
+        return attn_mod.attn_greedy_decode(params["decoder"], cfg.decoder_config(), feats, cfg.start_token)
+    return dec_mod.greedy_decode(params["decoder"], cfg.decoder_config(), feats)
+
+
+def config_from_params(params: Dict[str, Any], vocab_size: int, variant: str = "gru", **kw) -> CaptionerConfig:
+    """Convenience: infer dims from a params pytree."""
+    emb = params["decoder"]["embedding"]
+    hid = params["decoder"]["linear"]["w"].shape[0]
+    layers = len(params["decoder"]["rnn"])
+    return CaptionerConfig(
+        variant=variant,
+        resnet_version=kw.get("resnet_version", 101),
+        embed_dim=emb.shape[1],
+        hidden_dim=hid,
+        vocab_size=vocab_size,
+        num_layers=layers,
+        **{k: v for k, v in kw.items() if k != "resnet_version"},
+    )

@@ -1,0 +1,113 @@
+"""Checkpointing with reference-compatible logical keys + torch import.
+
+The reference writes ``model_<epoch>.ckpt`` = torch.save of
+{encoder_state_dict, decoder_state_dict, optimizer_state_dict, epoch, step}
+and ``model_<epoch>_metrics.ckpt`` = {train_loss} (utils.py:125-145).  We
+keep the same file names and logical keys, serialized as a plain pickle of
+numpy pytrees, written atomically (tmp + rename — the reference has no
+atomicity).  ``import_torch_checkpoint`` loads a *reference-trained*
+torch checkpoint and converts it into our params.
+
+Resume semantics follow the reference faithfully: weights + optimizer
+state are restored, but training restarts at epoch 0 (the saved epoch/step
+are written yet never read back, SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _atomic_pickle(obj, path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def create_checkpoint(
+    train_state,
+    epoch: int,
+    step: int,
+    train_loss,
+    params: Dict[str, Any],
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write model_<epoch>.ckpt (+ metrics) into params['output_dir']."""
+    model_file = os.path.join(params["output_dir"], "model_%d.ckpt" % epoch)
+    payload = {
+        "format": "show_tell_tpu.v1",
+        "encoder_state_dict": {
+            "trainable": _to_numpy(train_state.trainable["encoder"]),
+            "frozen": _to_numpy(train_state.frozen["encoder"]),
+            "bn_state": _to_numpy(train_state.bn_state),
+        },
+        "decoder_state_dict": _to_numpy(train_state.trainable["decoder"]),
+        "optimizer_state_dict": _to_numpy(train_state.opt_state),
+        "epoch": epoch,
+        "step": step,
+    }
+    if extra:
+        payload.update(extra)
+    _atomic_pickle(payload, model_file)
+    metrics_file = os.path.join(params["output_dir"], "model_%d_metrics.ckpt" % epoch)
+    _atomic_pickle({"train_loss": list(train_loss)}, metrics_file)
+    print("Checkpoint created for Epoch %d (Step %d)." % (epoch, step))
+    return model_file
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_train_state(train_state, ckpt: Dict[str, Any]):
+    """Rebuild a TrainState from a checkpoint (shapes must match)."""
+    from show_tell_tpu.train.train_step import TrainState
+
+    enc = ckpt["encoder_state_dict"]
+    trainable = {
+        "decoder": ckpt["decoder_state_dict"],
+        "encoder": enc["trainable"],
+    }
+    frozen = {"encoder": enc["frozen"]}
+    # Keep pytree structure from the live state, values from the ckpt.
+    trainable = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.trainable, trainable)
+    frozen = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.frozen, frozen)
+    bn_state = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.bn_state, enc["bn_state"])
+    opt_state = jax.tree.map(
+        lambda _, v: jax.numpy.asarray(v), train_state.opt_state, ckpt["optimizer_state_dict"]
+    )
+    return TrainState(trainable, frozen, bn_state, opt_state, train_state.rng, train_state.step)
+
+
+def import_torch_checkpoint(path: str, cfg) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a reference torch checkpoint (utils.py:131-138) -> (params, state).
+
+    Requires torch (CPU) for deserialization.  Optimizer state is not
+    imported (torch/optax trees differ; resume momentum from zero).
+    """
+    import torch
+
+    from show_tell_tpu.models.convert import (
+        attn_decoder_params_from_torch,
+        decoder_params_from_torch,
+    )
+    from show_tell_tpu.models.encoder import encoder_params_from_torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    enc_params, enc_state = encoder_params_from_torch(ckpt["encoder_state_dict"], cfg.encoder_config())
+    if cfg.is_attention:
+        dec_params = attn_decoder_params_from_torch(ckpt["decoder_state_dict"], cfg.num_layers)
+    else:
+        dec_params = decoder_params_from_torch(ckpt["decoder_state_dict"], cfg.num_layers)
+    return {"encoder": enc_params, "decoder": dec_params}, enc_state

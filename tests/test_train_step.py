@@ -1,0 +1,142 @@
+"""Train step: loss decreases, BN stats update, checkpoint roundtrip,
+DP-sharded step == single-device step (SURVEY.md §4d-e)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from show_tell_tpu.models.captioner import CaptionerConfig
+from show_tell_tpu.train.checkpoint import (
+    create_checkpoint,
+    load_checkpoint,
+    restore_train_state,
+)
+from show_tell_tpu.train.optim import make_optimizer
+from show_tell_tpu.train.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+CFG = CaptionerConfig(
+    variant="gru",
+    resnet_version=18,
+    embed_dim=24,
+    hidden_dim=32,
+    vocab_size=40,
+    num_layers=2,
+)
+
+
+def make_batch(rng, B=8, T=12, img=32):
+    images = rng.randint(0, 255, (B, img, img, 3), dtype=np.uint8)
+    lengths = np.sort(rng.randint(3, T + 1, B))[::-1].astype(np.int32)
+    captions = rng.randint(4, CFG.vocab_size, (B, T)).astype(np.int32)
+    for i, l in enumerate(lengths):
+        captions[i, l:] = 0
+        captions[i, 0] = 1
+        captions[i, l - 1] = 2
+    return images, captions, np.ascontiguousarray(lengths)
+
+
+@pytest.mark.parametrize("variant", ["gru", "lstm", "attn", "attn_lstm"])
+def test_loss_decreases(variant):
+    # alpha_c small: on tiny feature maps the doubly-stochastic penalty has
+    # a large irreducible floor ((1 - L)^2 with few spatial positions) that
+    # would mask the CE trend this test watches.
+    cfg = CFG._replace(variant=variant, nos_filters=512, attn_dim=16, alpha_c=0.01)
+    opt = make_optimizer("Adam", 1e-2)
+    ts = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, opt, augment=False)
+    rng = np.random.RandomState(0)
+    images, captions, lengths = make_batch(rng, img=64)
+    losses = []
+    for _ in range(12):
+        ts, loss = step(ts, images, captions, lengths)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert np.isfinite(losses).all()
+
+
+def test_bn_state_updates_and_backbone_frozen():
+    opt = make_optimizer("SGD", 0.01, 0.9)
+    ts = create_train_state(jax.random.PRNGKey(1), CFG, opt)
+    step = make_train_step(CFG, opt, augment=False)
+    images, captions, lengths = make_batch(np.random.RandomState(1))
+    frozen_before = jax.tree.map(lambda x: np.asarray(x).copy(), ts.frozen)
+    bn_before = np.asarray(ts.bn_state["resnet"]["bn1.running_mean"]).copy()
+    ts2, _ = step(ts, images, captions, lengths)
+    # Backbone params unchanged...
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b), ts2.frozen, frozen_before
+    )
+    # ...but BN running stats drifted (reference runs backbone in train mode).
+    assert not np.allclose(np.asarray(ts2.bn_state["resnet"]["bn1.running_mean"]), bn_before)
+    # And the head DID train.
+    w0 = np.asarray(ts.trainable["encoder"]["linear_secondlast_layer"]["w"])
+    w1 = np.asarray(ts2.trainable["encoder"]["linear_secondlast_layer"]["w"])
+    assert not np.allclose(w0, w1)
+
+
+def test_eval_step_shapes():
+    opt = make_optimizer("Adam", 1e-3)
+    ts = create_train_state(jax.random.PRNGKey(2), CFG, opt)
+    evaluate = make_eval_step(CFG, augment=False)
+    images, captions, lengths = make_batch(np.random.RandomState(2), B=4)
+    loss, ids = evaluate(ts, images, captions, lengths, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert ids.shape == (4, CFG.max_caption_length)
+    assert (np.asarray(ids) >= 0).all() and (np.asarray(ids) < CFG.vocab_size).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    opt = make_optimizer("SGD", 0.01, 0.9)
+    ts = create_train_state(jax.random.PRNGKey(3), CFG, opt)
+    step = make_train_step(CFG, opt, augment=False)
+    images, captions, lengths = make_batch(np.random.RandomState(3))
+    ts, _ = step(ts, images, captions, lengths)
+
+    params = {"output_dir": str(tmp_path)}
+    path = create_checkpoint(ts, 1, 1, [1.0], params)
+    ckpt = load_checkpoint(path)
+    assert ckpt["epoch"] == 1 and ckpt["step"] == 1
+
+    ts_fresh = create_train_state(jax.random.PRNGKey(99), CFG, opt)
+    ts_restored = restore_train_state(ts_fresh, ckpt)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ts.trainable,
+        ts_restored.trainable,
+    )
+    # Continuing training from the restored state reproduces the original.
+    ts_a, loss_a = step(ts, images, captions, lengths)
+    ts_b, loss_b = step(ts_restored._replace(rng=ts.rng), images, captions, lengths)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+
+
+def test_dp_sharded_step_matches_single_device():
+    """8-device dp mesh must produce the same params as 1 device."""
+    from show_tell_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    assert len(jax.devices()) >= 8
+    opt = make_optimizer("SGD", 0.01, 0.9)
+    cfg = CFG._replace(num_layers=1)
+    step = make_train_step(cfg, opt, augment=False)
+    images, captions, lengths = make_batch(np.random.RandomState(4), B=8)
+
+    ts_single = create_train_state(jax.random.PRNGKey(5), cfg, opt)
+    ts_a, loss_a = step(ts_single, images, captions, lengths)
+
+    mesh = make_mesh(dp=8)
+    ts_sharded = replicate(mesh, create_train_state(jax.random.PRNGKey(5), cfg, opt))
+    sb = shard_batch(mesh, images, captions, lengths)
+    ts_b, loss_b = step(ts_sharded, *sb)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        ts_a.trainable,
+        ts_b.trainable,
+    )
