@@ -1,0 +1,139 @@
+"""Beam search tests: vectorized beam vs a per-hypothesis numpy oracle,
+beam_size=1 == greedy prefix, and the faithful beam vs a torch re-enactment
+of reference rnn.py:60-108."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from show_tell_tpu.decode.beam import beam_search_decode
+from show_tell_tpu.decode.faithful_beam import faithful_beam_decode
+from show_tell_tpu.models.decoder import (
+    DecoderConfig,
+    greedy_decode,
+    init_decoder_params,
+)
+from show_tell_tpu.models.rnn_cells import init_state, stack_step
+
+E, H, V, L = 8, 12, 20, 2
+END, PAD = 2, 0
+
+
+def setup(cell="gru", T=10, seed=0):
+    cfg = DecoderConfig(cell, E, H, V, L, max_caption_length=T)
+    params = init_decoder_params(jax.random.PRNGKey(seed), cfg)
+    feat = np.random.RandomState(seed).randn(3, E).astype(np.float32)
+    return cfg, params, feat
+
+
+def oracle_beam_single(params, cfg, feat_1, K):
+    """Textbook beam (beam_search.py:45-97 semantics) with explicit
+    per-hypothesis state, run hypothesis-by-hypothesis."""
+    step_fn = stack_step(cfg.cell_type)
+
+    def step(x, st):
+        top, st2 = step_fn(params["rnn"], jnp.asarray(x[None]), st)
+        logits = np.asarray(
+            jnp.dot(top, params["linear"]["w"]) + params["linear"]["b"]
+        )[0]
+        logp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+        return logp, st2
+
+    st0 = init_state(cfg.cell_type, cfg.num_layers, 1, cfg.hidden_dim)
+    logp, st1 = step(feat_1, st0)
+    order = np.argsort(-logp)[:K]
+    hyps = [([int(t)], float(logp[t]), st1, int(t) == END) for t in order]
+
+    for _ in range(cfg.max_caption_length - 1):
+        cands = []
+        for toks, score, st, fin in hyps:
+            if fin:
+                cands.append((toks + [PAD], score, st, True))
+                continue
+            x = np.asarray(params["embedding"][toks[-1]])
+            logp, st2 = step(x, st)
+            for t in np.argsort(-logp)[: K + 1]:
+                cands.append((toks + [int(t)], score + float(logp[t]), st2, int(t) == END))
+        cands.sort(key=lambda c: -c[1])
+        hyps = cands[:K]
+    return np.asarray(hyps[0][0]), hyps[0][1]
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+@pytest.mark.parametrize("K", [2, 3])
+def test_beam_matches_oracle(cell, K):
+    cfg, params, feat = setup(cell, T=8)
+    got = np.asarray(beam_search_decode(params, cfg, jnp.asarray(feat), K, END, PAD))
+    for b in range(feat.shape[0]):
+        want, want_score = oracle_beam_single(params, cfg, feat[b], K)
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_beam1_equals_greedy_prefix():
+    cfg, params, feat = setup("gru", T=12)
+    beam = np.asarray(beam_search_decode(params, cfg, jnp.asarray(feat), 1, END, PAD))
+    greedy = np.asarray(greedy_decode(params, cfg, jnp.asarray(feat)))
+    for b in range(feat.shape[0]):
+        ends = np.where(greedy[b] == END)[0]
+        upto = (ends[0] + 1) if len(ends) else cfg.max_caption_length
+        np.testing.assert_array_equal(beam[b, :upto], greedy[b, :upto])
+        # After <end>, retired beam emits only <pad>.
+        assert (beam[b, upto:] == PAD).all()
+
+
+def test_faithful_beam_matches_torch_reenactment():
+    torch = pytest.importorskip("torch")
+    from show_tell_tpu.models.convert import decoder_params_from_torch
+
+    torch.manual_seed(0)
+    emb_t = torch.nn.Embedding(V, E)
+    unit = torch.nn.GRU(E, H, L, batch_first=True)
+    lin = torch.nn.Linear(H, V)
+    sd = {"embeddings.weight": emb_t.weight}
+    for k, v in unit.state_dict().items():
+        sd["unit." + k] = v
+    sd["linear.weight"], sd["linear.bias"] = lin.weight, lin.bias
+    params = decoder_params_from_torch(sd, L)
+    cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=25)
+
+    feat = np.random.RandomState(7).randn(1, E).astype(np.float32)
+    K = 3
+
+    # Re-enact reference rnn.py:60-108 exactly.
+    with torch.no_grad():
+        rnn_data = torch.from_numpy(feat).unsqueeze(1)
+        next_state, hidden = unit(rnn_data, None)
+        logits = lin(next_state.squeeze(1))
+        topk = logits.topk(k=K, dim=1)[1]
+        old_words = [topk[:, k] for k in range(K)]
+        old_sents = [[topk[:, k]] for k in range(K)]
+        idx = 1
+        while idx < 25:
+            idx += 1
+            new_s, new_w, new_p = [], [], []
+            for k in range(K):
+                rnn_data = emb_t(old_words[k]).unsqueeze(1)
+                next_state, hidden = unit(rnn_data, hidden)  # shared hidden
+                logits = lin(next_state.squeeze(1))
+                tk = logits.topk(k=K, dim=1)
+                for j in range(K):
+                    s = old_sents[k].copy()
+                    s.append(tk[1][:, j])
+                    new_s.append(s)
+                    new_w.append(tk[1][:, j])
+                    new_p.append(float(tk[0][:, j]))
+            order = sorted(range(len(new_p)), key=lambda i: -new_p[i])[:K]
+            old_sents = [new_s[i] for i in order]
+            old_words = [new_w[i] for i in order]
+        ref = torch.stack(old_sents[0], 1).squeeze().numpy()
+
+    got = faithful_beam_decode(params, cfg, jnp.asarray(feat), K)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_faithful_beam_rejects_lstm():
+    cfg, params, feat = setup("lstm")
+    with pytest.raises(ValueError):
+        faithful_beam_decode(params, cfg, jnp.asarray(feat[:1]), 3)
