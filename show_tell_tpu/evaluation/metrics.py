@@ -1,0 +1,275 @@
+"""Caption metrics: BLEU-1..4, CIDEr, ROUGE-L (+ optional METEOR).
+
+Re-implements the scoring semantics of the reference's vendored
+coco-caption suite (evaluation/evaluation_metrics.py) from the algorithms,
+including its exact numeric conventions, so per-batch scores match:
+
+  BLEU  (evaluation_metrics.py:117-320): corpus clip-counted n-gram
+    precision with brevity penalty; reflen option 'closest' (:313);
+    smoothing constants small=1e-9 / tiny=1e-15 (:222-223); per-image
+    scores use per-sentence counts with the same BP.
+  CIDEr (evaluation_metrics.py:323-504): tf-idf n-gram cosine with
+    clipping, per-call document frequency, log(#images) ref_len, gaussian
+    length penalty sigma=6, x10 scaling.  The upstream quirk where
+    "length" counts bigrams (:402-403, `if n == 1`) is preserved.
+  ROUGE-L (evaluation_metrics.py:592-660): LCS F-measure, beta=1.2, with
+    max-precision and max-recall taken independently over references.
+  METEOR: the reference ships the driver but strips meteor-1.5.jar and
+    disables the scorer (:682); ``meteor_available()`` gates it here.
+
+``evaluate(target, predicted)`` reproduces the reference wrapper
+(:662-717): token lists in, {'Bleu_1'..'Bleu_4','CIDEr','ROUGE_L'} out.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+_SMALL = 1e-9
+_TINY = 1e-15
+
+
+def _ngram_counts(words: Sequence[str], n: int) -> Counter:
+    counts: Counter = Counter()
+    for k in range(1, n + 1):
+        for i in range(len(words) - k + 1):
+            counts[tuple(words[i : i + k])] += 1
+    return counts
+
+
+# ---------------------------------------------------------------- BLEU ----
+
+
+def _closest_reflen(reflens: List[int], testlen: int) -> int:
+    return min((abs(l - testlen), l) for l in reflens)[1]
+
+
+def bleu_corpus(
+    gts: Dict, res: Dict, n: int = 4, option: str = "closest"
+) -> Tuple[List[float], List[List[float]]]:
+    """gts/res: image_id -> list of sentence strings (res has exactly 1).
+
+    Returns ([Bleu_1..Bleu_n corpus], [per-image lists per n])."""
+    total_guess = [0] * n
+    total_correct = [0] * n
+    total_testlen = 0
+    total_reflen = 0.0
+    per_image: List[List[float]] = [[] for _ in range(n)]
+
+    for img_id in gts.keys():
+        hyp_words = res[img_id][0].split()
+        refs = [r.split() for r in gts[img_id]]
+        testlen = len(hyp_words)
+        reflens = [len(r) for r in refs]
+        if option == "closest":
+            reflen: float = _closest_reflen(reflens, testlen)
+        elif option == "shortest":
+            reflen = min(reflens)
+        else:  # 'average'
+            reflen = float(sum(reflens)) / len(reflens)
+
+        max_ref_counts: Dict[tuple, int] = {}
+        for r in refs:
+            for ng, c in _ngram_counts(r, n).items():
+                max_ref_counts[ng] = max(max_ref_counts.get(ng, 0), c)
+        hyp_counts = _ngram_counts(hyp_words, n)
+        guess = [max(0, testlen - k + 1) for k in range(1, n + 1)]
+        correct = [0] * n
+        for ng, c in hyp_counts.items():
+            correct[len(ng) - 1] += min(max_ref_counts.get(ng, 0), c)
+
+        total_testlen += testlen
+        total_reflen += reflen
+        for k in range(n):
+            total_guess[k] += guess[k]
+            total_correct[k] += correct[k]
+
+        # Per-image score with its own brevity penalty.
+        prod = 1.0
+        ratio = (testlen + _TINY) / (reflen + _SMALL)
+        for k in range(n):
+            prod *= (correct[k] + _TINY) / (guess[k] + _SMALL)
+            s = prod ** (1.0 / (k + 1))
+            if ratio < 1:
+                s *= math.exp(1 - 1 / ratio)
+            per_image[k].append(s)
+
+    corpus: List[float] = []
+    prod = 1.0
+    ratio = (total_testlen + _TINY) / (total_reflen + _SMALL)
+    for k in range(n):
+        prod *= (total_correct[k] + _TINY) / (total_guess[k] + _SMALL)
+        s = prod ** (1.0 / (k + 1))
+        if ratio < 1:
+            s *= math.exp(1 - 1 / ratio)
+        corpus.append(s)
+    return corpus, per_image
+
+
+# --------------------------------------------------------------- CIDEr ----
+
+
+def cider_corpus(gts: Dict, res: Dict, n: int = 4, sigma: float = 6.0) -> Tuple[float, np.ndarray]:
+    img_ids = list(gts.keys())
+    ref_counts = {i: [_ngram_counts(r.split(), n) for r in gts[i]] for i in img_ids}
+    hyp_counts = {i: _ngram_counts(res[i][0].split(), n) for i in img_ids}
+
+    # Document frequency over this call's reference set (per-batch in the
+    # reference flow — evaluate() is invoked per batch, utils.py:201).
+    df: Dict[tuple, float] = defaultdict(float)
+    for i in img_ids:
+        seen = set()
+        for rc in ref_counts[i]:
+            seen.update(rc.keys())
+        for ng in seen:
+            df[ng] += 1.0
+    log_num_images = np.log(float(len(img_ids)))
+
+    def to_vec(cnts: Counter):
+        vec = [defaultdict(float) for _ in range(n)]
+        norm = [0.0] * n
+        length = 0
+        for ng, tf in cnts.items():
+            idf = log_num_images - np.log(max(1.0, df[ng]))
+            k = len(ng) - 1
+            vec[k][ng] = float(tf) * idf
+            norm[k] += vec[k][ng] ** 2
+            if k == 1:  # upstream quirk: "length" counts bigrams
+                length += tf
+        return vec, [np.sqrt(x) for x in norm], length
+
+    scores = []
+    for i in img_ids:
+        hvec, hnorm, hlen = to_vec(hyp_counts[i])
+        total = np.zeros(n)
+        for rc in ref_counts[i]:
+            rvec, rnorm, rlen = to_vec(rc)
+            delta = float(hlen - rlen)
+            val = np.zeros(n)
+            for k in range(n):
+                for ng in hvec[k]:
+                    val[k] += min(hvec[k][ng], rvec[k][ng]) * rvec[k][ng]
+                if hnorm[k] != 0 and rnorm[k] != 0:
+                    val[k] /= hnorm[k] * rnorm[k]
+                val[k] *= np.e ** (-(delta ** 2) / (2 * sigma ** 2))
+            total += val
+        scores.append(float(np.mean(total)) / len(ref_counts[i]) * 10.0)
+    arr = np.array(scores)
+    return float(np.mean(arr)), arr
+
+
+# -------------------------------------------------------------- ROUGE-L ----
+
+
+def _lcs_len(a: List[str], b: List[str]) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l_corpus(gts: Dict, res: Dict, beta: float = 1.2) -> Tuple[float, np.ndarray]:
+    scores = []
+    for i in gts.keys():
+        hyp = res[i][0].split(" ")
+        precs, recs = [], []
+        for r in gts[i]:
+            ref = r.split(" ")
+            lcs = _lcs_len(ref, hyp)
+            precs.append(lcs / float(len(hyp)))
+            recs.append(lcs / float(len(ref)))
+        pmax, rmax = max(precs), max(recs)
+        if pmax != 0 and rmax != 0:
+            scores.append(((1 + beta ** 2) * pmax * rmax) / float(rmax + beta ** 2 * pmax))
+        else:
+            scores.append(0.0)
+    arr = np.array(scores)
+    return float(np.mean(arr)), arr
+
+
+# --------------------------------------------------------------- METEOR ----
+
+METEOR_JAR = os.path.join(os.path.dirname(__file__), "meteor-1.5.jar")
+
+
+def meteor_available() -> bool:
+    return os.path.isfile(METEOR_JAR)
+
+
+def meteor_corpus(gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
+    """Drives meteor-1.5.jar over stdio like the reference (:510-567).
+    The jar is not shipped (stripped in the reference too); callers must
+    check ``meteor_available()`` first."""
+    if not meteor_available():
+        raise FileNotFoundError(
+            "meteor-1.5.jar not found next to metrics.py; METEOR is disabled "
+            "by default, matching the reference (evaluation_metrics.py:682)."
+        )
+    import subprocess
+
+    img_ids = list(gts.keys())
+    cmd = ["java", "-jar", "-Xmx2G", METEOR_JAR, "-", "-", "-stdio", "-l", "en", "-norm"]
+    proc = subprocess.Popen(
+        cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, cwd=os.path.dirname(METEOR_JAR)
+    )
+    eval_line = "EVAL"
+    for i in img_ids:
+        stat_line = "SCORE ||| " + " ||| ".join(gts[i]) + " ||| " + res[i][0]
+        proc.stdin.write((stat_line + "\n").encode())
+        proc.stdin.flush()
+        eval_line += " ||| " + proc.stdout.readline().decode().strip()
+    proc.stdin.write((eval_line + "\n").encode())
+    proc.stdin.flush()
+    scores = [float(proc.stdout.readline().strip()) for _ in img_ids]
+    final = float(proc.stdout.readline().strip())
+    proc.kill()
+    return final, np.array(scores)
+
+
+# -------------------------------------------------------------- wrapper ----
+
+
+def evaluate(target, predicted, faithful: bool = True) -> Dict[str, float]:
+    """Reference evaluate() (:662-717): batch token lists -> score dict.
+
+    target[i]: list of reference token lists for sample i;
+    predicted[i]: hypothesis token list for sample i.
+
+    FAITHFUL REFERENCE BUG: in the reference wrapper the inner loop
+    ``for imgId, score in zip(imgIds, scores)`` rebinds ``score``, so the
+    returned 'CIDEr' and 'ROUGE_L' are the LAST image's per-image score,
+    not the corpus mean (evaluation_metrics.py:707-715; the BLEU branch
+    returns ``sc`` and is unaffected).  ``faithful=True`` (default)
+    reproduces that; ``faithful=False`` returns the corpus means.
+    """
+    gts = {}
+    res = {}
+    for i in range(len(target)):
+        gts[i] = [" ".join(ref) for ref in target[i]]
+        res[i] = [" ".join(predicted[i])]
+
+    scores: Dict[str, float] = {}
+    bleus, _ = bleu_corpus(gts, res, 4, option="closest")
+    for k, name in enumerate(["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]):
+        scores[name] = bleus[k]
+    cider_mean, cider_per = cider_corpus(gts, res)
+    rouge_mean, rouge_per = rouge_l_corpus(gts, res)
+    if faithful:
+        scores["CIDEr"] = float(cider_per[-1])
+        scores["ROUGE_L"] = float(rouge_per[-1])
+    else:
+        scores["CIDEr"] = cider_mean
+        scores["ROUGE_L"] = rouge_mean
+    if meteor_available():
+        scores["METEOR"], _ = meteor_corpus(gts, res)
+    return scores

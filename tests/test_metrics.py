@@ -1,0 +1,124 @@
+"""Golden-value metric tests (SURVEY.md §4b).
+
+Golden numbers were generated once from the reference's vendored
+coco-caption scorers (evaluation/evaluation_metrics.py) and hard-coded;
+40 randomized cross-checks produced exact (1e-12) agreement at
+generation time.
+"""
+
+import numpy as np
+import pytest
+
+from show_tell_tpu.evaluation.metrics import (
+    bleu_corpus,
+    cider_corpus,
+    evaluate,
+    meteor_available,
+    rouge_l_corpus,
+)
+
+CASE1_TARGET = [
+    [["a", "man", "rides", "a", "wave"]],
+    [["two", "dogs", "play", "in", "the", "park"], ["a", "dog", "runs", "in", "grass"]],
+]
+CASE1_PRED = [
+    ["a", "man", "rides", "a", "wave"],
+    ["a", "dog", "plays", "in", "the", "park"],
+]
+
+CASE2_TARGET = [[["the", "red", "bus", "drives", "down", "the", "street"]]]
+CASE2_PRED = [["a", "red", "bus", "on", "the", "street"]]
+
+
+def test_evaluate_golden_case1():
+    got = evaluate(CASE1_TARGET, CASE1_PRED)
+    want = {
+        "Bleu_1": 0.9090909089,
+        "Bleu_2": 0.840874965,
+        "Bleu_3": 0.7392788225,
+        "Bleu_4": 0.6340466276,
+        "CIDEr": 2.3241130042,
+        "ROUGE_L": 0.5545454545,
+    }
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_evaluate_golden_case2():
+    got = evaluate(CASE2_TARGET, CASE2_PRED)
+    want = {
+        "Bleu_1": 0.5643211497,
+        "Bleu_2": 0.437121283,
+        "Bleu_3": 3.4323e-06,
+        "Bleu_4": 1.03e-08,
+        "CIDEr": 0.0,
+        "ROUGE_L": 0.6069651741,
+    }
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_faithful_vs_corrected_cider_rouge():
+    """faithful=True returns the LAST image's CIDEr/ROUGE (reference
+    wrapper bug, evaluation_metrics.py:707-715); faithful=False the mean."""
+    gts = {i: [" ".join(t) for t in CASE1_TARGET[i]] for i in range(2)}
+    res = {i: [" ".join(CASE1_PRED[i])] for i in range(2)}
+    c_mean, c_per = cider_corpus(gts, res)
+    faithful = evaluate(CASE1_TARGET, CASE1_PRED, faithful=True)
+    corrected = evaluate(CASE1_TARGET, CASE1_PRED, faithful=False)
+    assert abs(faithful["CIDEr"] - c_per[-1]) < 1e-12
+    assert abs(corrected["CIDEr"] - c_mean) < 1e-12
+    # BLEU is identical in both modes.
+    assert faithful["Bleu_4"] == corrected["Bleu_4"]
+
+
+def test_bleu_perfect_match():
+    gts = {0: ["a man rides a wave"]}
+    res = {0: ["a man rides a wave"]}
+    scores, per_img = bleu_corpus(gts, res)
+    assert all(abs(s - 1.0) < 1e-6 for s in scores)
+
+
+def test_bleu_brevity_penalty():
+    gts = {0: ["a man rides a big wave today"]}
+    res = {0: ["a man rides"]}  # 3 vs 7 words -> BP = exp(1 - 7/3)
+    scores, _ = bleu_corpus(gts, res)
+    assert abs(scores[0] - 1.0 * np.exp(1 - 7 / 3)) < 1e-6
+
+
+def test_bleu_closest_reflen():
+    # testlen 4; reflens {3, 6}: 'closest' picks 3 -> ratio > 1, no BP;
+    # 'average' picks 4.5 -> BP = exp(1 - 4.5/4) applies.
+    gts = {0: ["a big dog", "a very big brown dog runs"]}
+    res = {0: ["a big dog runs"]}
+    closest, _ = bleu_corpus(gts, res, option="closest")
+    assert abs(closest[0] - 1.0) < 1e-6
+    average, _ = bleu_corpus(gts, res, option="average")
+    assert abs(average[0] - np.exp(1 - 4.5 / 4)) < 1e-6
+
+
+def test_cider_identical_is_10():
+    # Single image, hyp == only ref: idf = log(1) ... = 0 -> score 0/0
+    # guarded to 0; use 2 images to get nonzero idf.
+    gts = {0: ["a man rides a wave"], 1: ["a dog in the park"]}
+    res = {0: ["a man rides a wave"], 1: ["a dog in the park"]}
+    mean, per = cider_corpus(gts, res)
+    assert per[0] == pytest.approx(10.0)
+    assert per[1] == pytest.approx(10.0)
+
+
+def test_rouge_l():
+    gts = {0: ["a man rides a wave"]}
+    res = {0: ["a man rides a wave"]}
+    mean, _ = rouge_l_corpus(gts, res)
+    assert mean == pytest.approx(1.0)
+    gts = {0: ["a b c d"]}
+    res = {0: ["x y z w"]}
+    mean, _ = rouge_l_corpus(gts, res)
+    assert mean == 0.0
+
+
+def test_meteor_disabled_by_default():
+    assert not meteor_available()
+    got = evaluate(CASE2_TARGET, CASE2_PRED)
+    assert "METEOR" not in got
