@@ -1,0 +1,6 @@
+"""Soft-attention LSTM entry point (reference Attention/main_attn_LSTM.py)."""
+
+from show_tell_tpu.cli.run import run
+
+if __name__ == "__main__":
+    run("attn_lstm")

@@ -1,0 +1,69 @@
+"""Shared CLI runner behind the four entry points.
+
+Phase selection and flow mirror reference main.py:116-176: build vocab and
+loaders, construct models, train when --is_training, then test when
+--is_testing by loading --load_model_test and running the test_model flow.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+
+from show_tell_tpu.core.config import load_params
+from show_tell_tpu.data.dataset import get_data_loader
+from show_tell_tpu.evaluation.tester import test_model
+from show_tell_tpu.train.checkpoint import load_checkpoint, restore_train_state
+from show_tell_tpu.train.loop import captioner_config_from_params, train
+from show_tell_tpu.train.optim import make_optimizer
+from show_tell_tpu.train.train_step import create_train_state
+from show_tell_tpu.vocab.vocabulary import get_vocabulary
+
+
+def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCOCO") -> Dict[str, Any]:
+    params = load_params(argv, variant=variant, data_source=data_source)
+    print("Parameters being used by the Model - ", params)
+
+    vocab = get_vocabulary(data_source, params)
+    print("Vocabulary loaded.")
+
+    train_data_loader = get_data_loader(vocab, params, "train")
+    print("Training data loaded.")
+    test_data_loader = get_data_loader(vocab, params, "test") if params.get("is_testing") or variant == "gru" else None
+    if test_data_loader is not None:
+        print("Testing data loaded.")
+
+    cfg = captioner_config_from_params(params, len(vocab))
+    results: Dict[str, Any] = {"params": params, "config": cfg}
+
+    ts = None
+    if params["is_training"]:
+        ts = train(
+            params,
+            vocab,
+            train_data_loader,
+            test_data_loader,
+            eval_every_epochs=5 if variant == "gru" else 0,
+        )
+        results["train_state"] = ts
+
+    if params["is_testing"]:
+        optimizer = make_optimizer(params["optimizer_type"], params["lr"], params.get("momentum", 0.9))
+        ts = create_train_state(jax.random.PRNGKey(params.get("seed", 1)), cfg, optimizer)
+        ckpt_path = os.path.join(params["output_dir"], params["load_model_test"] + ".ckpt")
+        ts = restore_train_state(ts, load_checkpoint(ckpt_path))
+        print("Model loaded.")
+        print("Steps to be taken - %d\n" % len(test_data_loader))
+        results["scores"] = test_model(
+            ts,
+            cfg,
+            test_data_loader,
+            vocab,
+            params,
+            sub_batch_size=-1,
+            beam_size=params.get("beam_size", 0),
+            faithful_beam=bool(params.get("faithful_beam", 0)),
+        )
+    return results

@@ -1,0 +1,196 @@
+"""The test_model flow — reference utils.py:105-247 rebuilt.
+
+Per batch: teacher-forced loss, free-running decode (batched greedy, or
+beam search), ids -> words with <end> truncation and <start> skipping,
+per-batch evaluate() scores accumulated and averaged, progress prints
+each 100 steps.  Afterwards: per-image target/candidate dicts pickled to
+``Target_Words_Dict.pickle`` / ``Candidate_Words_Dict.pickle``
+(utils.py:226-230) and a second per-image nltk corpus_bleu pass with
+method4 smoothing (utils.py:232-246).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from show_tell_tpu.data.transforms import preprocess_images
+from show_tell_tpu.decode.beam import beam_search_decode
+from show_tell_tpu.decode.faithful_beam import faithful_beam_decode
+from show_tell_tpu.evaluation.metrics import evaluate
+from show_tell_tpu.models.captioner import (
+    CaptionerConfig,
+    captioner_greedy_decode,
+    captioner_loss,
+    merge_params,
+)
+from show_tell_tpu.models.encoder import encoder_forward
+
+
+def create_caption_word_format(tokenized, vocab, flag_blue: bool = False) -> List:
+    """ids -> words; truncate at <end>, drop <start> (utils.py:105-123)."""
+    caption_words = []
+    start_idx = vocab.word_to_index[vocab.start_token()]
+    for token in tokenized:
+        curr_word = []
+        for idx in token:
+            idx = int(idx)
+            if vocab.index_to_word[idx] == vocab.end_token():
+                break
+            if idx != start_idx:
+                curr_word.append(vocab.index_to_word[idx])
+        caption_words.append([curr_word] if flag_blue else curr_word)
+    return caption_words
+
+
+def make_test_step(cfg: CaptionerConfig, beam_size: int = 0, augment: bool = True):
+    """Jitted (loss, decoded ids) for one batch; beam_size>0 uses the
+    standard batched beam (non-attention decoders only, like the ref)."""
+
+    @jax.jit
+    def run(trainable, frozen, bn_state, images_u8, captions, lengths, key):
+        images = preprocess_images(images_u8, key, augment=augment)
+        params = merge_params(trainable, frozen)
+        loss, _ = captioner_loss(params, bn_state, cfg, images, captions, lengths, training=False)
+        if beam_size > 0 and not cfg.is_attention:
+            feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
+            ids = beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam_size)
+        else:
+            ids = captioner_greedy_decode(params, bn_state, cfg, images)
+        return loss, ids
+
+    return run
+
+
+def test_model(
+    train_state,
+    cfg: CaptionerConfig,
+    data_loader,
+    vocab,
+    params: Dict[str, Any],
+    device: str = "tpu",
+    sub_batch_size: int = -1,
+    beam_size: int = 0,
+    faithful_beam: bool = False,
+    seed: int = 1,
+) -> Dict[str, float]:
+    """Run evaluation; returns the final averaged score dict."""
+    test_loss: List[float] = []
+    accum: Dict[str, List[float]] = {k: [] for k in ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr", "ROUGE_L"]}
+    target_caption_full: Dict[str, list] = {}
+    candidate_caption_full: Dict[str, list] = {}
+
+    if sub_batch_size == -1:
+        sub_batch_size = len(data_loader)
+
+    step_fn = make_test_step(cfg, 0 if faithful_beam else beam_size)
+    key = jax.random.PRNGKey(seed)
+
+    start_time = time.time()
+    print("Testing started.")
+    print("Sub-batch size - ", sub_batch_size)
+    for idx, (img_paths, images, captions, lengths) in enumerate(data_loader):
+        if idx == sub_batch_size:
+            break
+        key, sub = jax.random.split(key)
+        loss, ids = step_fn(
+            train_state.trainable, train_state.frozen, train_state.bn_state, images, captions, lengths, sub
+        )
+        if faithful_beam and beam_size > 0:
+            images_f = preprocess_images(images, sub, augment=True)
+            full = merge_params(train_state.trainable, train_state.frozen)
+            feats, _ = encoder_forward(
+                full["encoder"], train_state.bn_state, cfg.encoder_config(), images_f, training=False
+            )
+            ids = faithful_beam_decode(full["decoder"], cfg.decoder_config(), feats, beam_size)[None, :]
+        test_loss.append(float(loss))
+
+        predicted_words = create_caption_word_format(np.asarray(ids), vocab, False)
+        target_words = create_caption_word_format(np.asarray(captions), vocab, True)
+
+        eval_scores = evaluate(target_words, predicted_words)
+        for imgs, tgt, pdt in zip(img_paths, target_words, predicted_words):
+            if imgs in target_caption_full:
+                target_caption_full[imgs].extend(tgt)
+                candidate_caption_full[imgs].append(pdt)
+            else:
+                target_caption_full[imgs] = list(tgt)
+                candidate_caption_full[imgs] = [pdt]
+
+        for k in accum:
+            accum[k].append(eval_scores[k])
+
+        if (idx + 1) % 100 == 0:
+            print(
+                "Step %d - %0.4f test loss, %0.2f time, %.3f BLEU1, %.3f BLEU2, %.3f BLEU3, %.3f BLEU4, %.3f CIDEr, %.3f ROUGE_L."
+                % (
+                    idx + 1,
+                    float(loss),
+                    time.time() - start_time,
+                    np.mean(accum["Bleu_1"]) * 100.0,
+                    np.mean(accum["Bleu_2"]) * 100.0,
+                    np.mean(accum["Bleu_3"]) * 100.0,
+                    np.mean(accum["Bleu_4"]) * 100.0,
+                    np.mean(accum["CIDEr"]) * 100.0,
+                    np.mean(accum["ROUGE_L"]) * 100.0,
+                )
+            )
+
+    final = {k: float(np.mean(v)) for k, v in accum.items()}
+    final["test_loss"] = float(np.mean(test_loss))
+    print(
+        "%0.4f test loss, %0.2f time, %.3f BLEU1, %.3f BLEU2, %.3f BLEU3, %.3f BLEU4, %.3f CIDEr, %.3f ROUGE_L."
+        % (
+            final["test_loss"],
+            time.time() - start_time,
+            final["Bleu_1"] * 100.0,
+            final["Bleu_2"] * 100.0,
+            final["Bleu_3"] * 100.0,
+            final["Bleu_4"] * 100.0,
+            final["CIDEr"] * 100.0,
+            final["ROUGE_L"] * 100.0,
+        )
+    )
+
+    with open(os.path.join(params["output_dir"], "Target_Words_Dict.pickle"), "wb") as f:
+        pickle.dump(target_caption_full, f)
+    with open(os.path.join(params["output_dir"], "Candidate_Words_Dict.pickle"), "wb") as f:
+        pickle.dump(candidate_caption_full, f)
+
+    # ------ per-image nltk corpus BLEU pass (utils.py:232-246) -------- #
+    from nltk.translate.bleu_score import SmoothingFunction, corpus_bleu
+
+    sf = SmoothingFunction()
+    weights = [(1.0, 0, 0, 0), (0.5, 0.5, 0, 0), (0.34, 0.33, 0.33, 0), (0.25, 0.25, 0.25, 0.25)]
+    corpus_scores = [[] for _ in range(4)]
+    for img_nm in target_caption_full:
+        sums = [0.0] * 4
+        cands = candidate_caption_full[img_nm]
+        for cand in cands:
+            for w in range(4):
+                sums[w] += corpus_bleu(
+                    [target_caption_full[img_nm]], [cand], weights=weights[w], smoothing_function=sf.method4
+                )
+        for w in range(4):
+            corpus_scores[w].append(sums[w] / len(cands))
+    for w in range(4):
+        final["Final_Bleu_%d" % (w + 1)] = float(np.mean(corpus_scores[w])) if corpus_scores[w] else 0.0
+    print(
+        "%0.4f test loss, %0.2f time, %.3f Final BLEU1, %.3f Final BLEU2, %.3f Final BLEU3, %.3f Final BLEU4"
+        % (
+            final["test_loss"],
+            time.time() - start_time,
+            final["Final_Bleu_1"] * 100.0,
+            final["Final_Bleu_2"] * 100.0,
+            final["Final_Bleu_3"] * 100.0,
+            final["Final_Bleu_4"] * 100.0,
+        )
+    )
+    print("Testing completed.")
+    return final

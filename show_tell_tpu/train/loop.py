@@ -1,0 +1,120 @@
+"""The training loop — reference main.py:116-170 cadence on a jitted step.
+
+Per epoch: iterate the (prefetching) loader, one compiled XLA step per
+batch; print every 500 steps and at epoch end; checkpoint every 5000
+steps and each epoch end; for the GRU entry point, run a sub-batch eval
+every 5 epochs (main.py:161-168).  Resume restores weights + optimizer
+state but restarts at epoch 0, faithfully (SURVEY.md §3.5).
+
+Data parallelism: when the visible device count (or --dp) is > 1 the
+state is replicated and batches sharded over the dp mesh axis; the step
+itself is unchanged (GSPMD inserts the gradient psum over ICI).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from show_tell_tpu.models.captioner import CaptionerConfig
+from show_tell_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from show_tell_tpu.train.checkpoint import create_checkpoint, load_checkpoint, restore_train_state
+from show_tell_tpu.train.optim import make_optimizer
+from show_tell_tpu.train.train_step import create_train_state, make_train_step
+
+
+def captioner_config_from_params(params: Dict[str, Any], vocab_size: int) -> CaptionerConfig:
+    return CaptionerConfig(
+        variant=params.get("variant", "gru"),
+        resnet_version=params["resnet_version"],
+        embed_dim=params["embedding_length"],
+        hidden_dim=params["num_hidden_units"],
+        vocab_size=vocab_size,
+        num_layers=params["num_layers"],
+        nos_filters=params.get("nos_cnn_filters", 2048),
+        attn_dim=params.get("attn_dim", 512),
+        alpha_c=params.get("alpha_c", 1.0),
+        max_caption_length=params.get("max_caption_length", 25),
+        start_token=1,
+    )
+
+
+def train(
+    params: Dict[str, Any],
+    vocab,
+    train_data_loader,
+    test_data_loader=None,
+    eval_every_epochs: int = 0,
+    init_params_state=None,
+):
+    """Run the full training regime; returns the final TrainState."""
+    cfg = captioner_config_from_params(params, len(vocab))
+    optimizer = make_optimizer(params["optimizer_type"], params["lr"], params.get("momentum", 0.9))
+    key = jax.random.PRNGKey(params.get("seed", 1))
+    ts = create_train_state(key, cfg, optimizer)
+
+    if init_params_state is not None:
+        # e.g. pretrained backbone weights imported from a torch .pth.
+        from show_tell_tpu.models.captioner import split_trainable
+        from show_tell_tpu.train.train_step import TrainState
+
+        p, s = init_params_state
+        trainable, frozen = split_trainable(p)
+        ts = TrainState(trainable, frozen, s, optimizer.init(trainable), ts.rng, ts.step)
+
+    if params.get("resume_training"):
+        ckpt_path = os.path.join(params["output_dir"], params["resume_model_train"] + ".ckpt")
+        print("Loading the model - %s" % (params["resume_model_train"] + ".ckpt"))
+        ts = restore_train_state(ts, load_checkpoint(ckpt_path))
+        print("Models loaded.")
+
+    n_dev = params.get("dp", 0) or len(jax.devices())
+    mesh = None
+    if n_dev > 1 and params["batch_size"] % n_dev == 0:
+        mesh = make_mesh(dp=n_dev)
+        ts = replicate(mesh, ts)
+        print("Data-parallel over %d devices." % n_dev)
+
+    step = make_train_step(cfg, optimizer, augment=True)
+
+    os.makedirs(params["output_dir"], exist_ok=True)
+    start_time = time.time()
+    print("Training started.")
+    idx = -1
+    for epoch in range(params["num_epochs"]):
+        print("Epoch %d started." % (epoch + 1))
+        train_loss = []
+        for idx, (_, images, captions, lengths) in enumerate(train_data_loader):
+            if mesh is not None:
+                images, captions, lengths = shard_batch(mesh, images, captions, lengths)
+            ts, loss = step(ts, images, captions, lengths)
+            train_loss.append(float(loss))
+            if (idx + 1) % 5000 == 0:
+                create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
+            if (idx + 1) % 500 == 0 or (idx + 1) == len(train_data_loader):
+                print(
+                    "Epoch %d (Step %d) - %0.4f train loss, %0.2f time."
+                    % (epoch + 1, idx + 1, train_loss[-1], time.time() - start_time)
+                )
+        print("Epoch %d - %0.4f loss, %.2f time. " % (epoch + 1, np.mean(train_loss), time.time() - start_time))
+        create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
+
+        if eval_every_epochs and (epoch + 1) % eval_every_epochs == 0 and test_data_loader is not None:
+            from show_tell_tpu.evaluation.tester import test_model
+
+            print("Steps to be taken - %d\n" % params.get("sub_batch_test", 10))
+            test_model(
+                ts,
+                cfg,
+                test_data_loader,
+                vocab,
+                params,
+                sub_batch_size=params.get("sub_batch_test", 10),
+            )
+
+    print("Training completed.")
+    return ts

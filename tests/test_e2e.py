@@ -1,0 +1,106 @@
+"""End-to-end: CLI train + test phases on the mini-COCO fixture
+(SURVEY.md §4d) — exercises vocab, loaders, train loop, checkpointing,
+decode, metrics, and the pickle outputs."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from fixtures import build_mini_coco
+
+from show_tell_tpu.cli.run import run
+
+
+def _argv(data_root, out_dir, extra=()):
+    return [
+        "--data_dir", data_root,
+        "--output_dir", out_dir,
+        "--train_ann_path", "annotations/captions_train2014.json",
+        "--test_ann_path", "annotations/captions_train2014.json",
+        "--train_img_dir", "train2014",
+        "--test_img_dir", "train2014",
+        "--vocab_threshold", "1",
+        "--embedding_length", "16",
+        "--num_hidden_units", "24",
+        "--num_layers", "1",
+        "--batch_size", "4",
+        "--num_epochs", "1",
+        "--resnet_version", "18",
+        "--lr", "0.01",
+        "--optimizer_type", "Adam",
+    ] + list(extra)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    data_root = os.path.join(root, "data")
+    out_dir = os.path.join(root, "out")
+    build_mini_coco(data_root)
+    os.makedirs(out_dir, exist_ok=True)
+    res = run("gru", _argv(data_root, out_dir, ["--is_training", "1", "--is_testing", "0"]))
+    return data_root, out_dir, res
+
+
+def test_train_phase_writes_checkpoints(trained):
+    _, out_dir, res = trained
+    assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
+    assert os.path.isfile(os.path.join(out_dir, "model_1_metrics.ckpt"))
+    assert os.path.isfile(os.path.join(out_dir, "vocab.pkl"))
+    with open(os.path.join(out_dir, "model_1_metrics.ckpt"), "rb") as f:
+        metrics = pickle.load(f)
+    assert len(metrics["train_loss"]) == 4  # 16 captions / batch 4, drop_last
+    assert all(np.isfinite(metrics["train_loss"]))
+
+
+def test_test_phase_produces_scores_and_pickles(trained):
+    data_root, out_dir, _ = trained
+    res = run(
+        "gru",
+        _argv(
+            data_root,
+            out_dir,
+            ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1"],
+        ),
+    )
+    scores = res["scores"]
+    for k in ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr", "ROUGE_L",
+              "Final_Bleu_1", "Final_Bleu_4", "test_loss"]:
+        assert k in scores and np.isfinite(scores[k]), k
+    assert 0.0 <= scores["Bleu_1"] <= 1.0
+    for name in ["Target_Words_Dict.pickle", "Candidate_Words_Dict.pickle"]:
+        with open(os.path.join(out_dir, name), "rb") as f:
+            d = pickle.load(f)
+        assert len(d) == 8  # 8 distinct images
+
+
+def test_beam_test_phase(trained):
+    data_root, out_dir, _ = trained
+    res = run(
+        "gru",
+        _argv(
+            data_root,
+            out_dir,
+            ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1",
+             "--beam_size", "2"],
+        ),
+    )
+    # beam_size forces batch_size=1 (reference main.py:81-82).
+    assert res["params"]["batch_size"] == 1
+    assert np.isfinite(res["scores"]["Bleu_1"])
+
+
+def test_resume_training(trained):
+    data_root, out_dir, _ = trained
+    res = run(
+        "gru",
+        _argv(
+            data_root,
+            out_dir,
+            ["--is_training", "1", "--is_testing", "0",
+             "--resume_training", "1", "--resume_model_train", "model_1"],
+        ),
+    )
+    assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
