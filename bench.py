@@ -1,0 +1,89 @@
+"""Benchmark: COCO-style captions/sec at batched greedy decode on one chip.
+
+The pipeline measured is the full serving path of the flagship model
+(reference default config: ResNet-101 + 5-layer GRU-512, vocab 9956):
+uint8 image in -> device preprocessing (/255, normalize) -> ResNet-101
+encode -> 25-step greedy GRU decode -> token ids out.
+
+Prints ONE JSON line:
+  {"metric": "captions_per_sec_per_chip_greedy", "value": N,
+   "unit": "captions/s/chip", "vs_baseline": N}
+
+vs_baseline is measured throughput / 1250 captions/s/chip — the per-chip
+share of the north-star target (>=10k captions/s on a v5e-8 slice,
+BASELINE.json; the reference itself publishes no throughput numbers).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.models.captioner import (
+        CaptionerConfig,
+        captioner_greedy_decode,
+        init_captioner,
+    )
+
+    cfg = CaptionerConfig(
+        variant="gru",
+        resnet_version=101,
+        embed_dim=256,
+        hidden_dim=512,
+        vocab_size=9956,
+        num_layers=5,
+    )
+    params, state = init_captioner(jax.random.PRNGKey(0), cfg)
+
+    compute_dtype = jnp.bfloat16
+    params = jax.tree.map(
+        lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x, params
+    )
+    state = jax.tree.map(lambda x: x.astype(compute_dtype), state)
+
+    @jax.jit
+    def serve(images_u8, key):
+        images = preprocess_images(images_u8, key, augment=False, dtype=compute_dtype)
+        return captioner_greedy_decode(params, state, cfg, images)
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(0)
+
+    # Warmup/compile (twice: first run can include autotuning).
+    serve(images, key).block_until_ready()
+    serve(images, key).block_until_ready()
+
+    iters, reps = 5, 5
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = serve(images, jax.random.fold_in(key, r * iters + i))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median rep
+
+    cps = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "captions_per_sec_per_chip_greedy",
+                "value": round(cps, 2),
+                "unit": "captions/s/chip",
+                "vs_baseline": round(cps / 1250.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

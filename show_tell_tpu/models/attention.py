@@ -92,11 +92,12 @@ def attention_net(attn_params: Dict[str, Any], img_feat: jax.Array, hidden: jax.
 def _init_hidden(params: Dict[str, Any], cfg: AttnDecoderConfig, cnn_feature: jax.Array):
     """cnn_feature: [B, C, P].  hidden = init_h(mean over positions),
     repeated across layers (rnn_attn.py:54,62)."""
+    dtype = params["embedding"].dtype  # compute dtype (bf16 in fast serving)
     pooled = jnp.mean(cnn_feature, axis=2)  # [B, C]
-    h0 = _linear(params["init_h"], pooled)  # [B, H]
+    h0 = _linear(params["init_h"], pooled).astype(dtype)  # [B, H]
     hs = jnp.broadcast_to(h0[None], (cfg.num_layers,) + h0.shape)
     if cfg.cell_type == "lstm":
-        c0 = _linear(params["init_c"], pooled)
+        c0 = _linear(params["init_c"], pooled).astype(dtype)
         cs = jnp.broadcast_to(c0[None], (cfg.num_layers,) + c0.shape)
         return (hs, cs)
     return hs
@@ -131,7 +132,7 @@ def attn_decoder_forward(
         t, st = carry
         w_emb = xt  # [B, E]
         context, alpha = attention_net(params["attn"], feats_pm, _last_h(st, cfg.cell_type))
-        x = jnp.concatenate([w_emb, _linear(params["embed"], context)], axis=-1)
+        x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
         top, st2 = step_fn(params["rnn"], x, st)
         logits = _linear(params["linear"], top)
         alive = t < lengths  # [B]
@@ -160,7 +161,7 @@ def attn_greedy_decode(
     def body(carry, _):
         w_emb, st = carry
         context, _alpha = attention_net(params["attn"], feats_pm, _last_h(st, cfg.cell_type))
-        x = jnp.concatenate([w_emb, _linear(params["embed"], context)], axis=-1)
+        x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
         top, st2 = step_fn(params["rnn"], x, st)
         logits = _linear(params["linear"], top)
         tok = jnp.argmax(logits, axis=-1)

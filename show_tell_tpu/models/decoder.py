@@ -66,7 +66,7 @@ def decoder_forward(
     emb = params["embedding"][captions]  # [B, T, E]
     # Prepend the image feature, drop the last embedding (never consumed:
     # pack keeps `length` inputs from the length+1 concat, rnn.py:30-31).
-    inputs = jnp.concatenate([cnn_feature[:, None, :], emb[:, :-1, :]], axis=1)
+    inputs = jnp.concatenate([cnn_feature.astype(emb.dtype)[:, None, :], emb[:, :-1, :]], axis=1)
     state = init_state(cfg.cell_type, cfg.num_layers, captions.shape[0], cfg.hidden_dim, inputs.dtype)
     outs, _ = rnn_scan(params["rnn"], cfg.cell_type, inputs, state)
     return jnp.dot(outs, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
@@ -91,7 +91,9 @@ def greedy_decode(
     """Batched greedy decode, 25 fixed steps (reference rnn.py:44-58)."""
     B = cnn_feature.shape[0]
     step_fn = stack_step(cfg.cell_type)
-    state = init_state(cfg.cell_type, cfg.num_layers, B, cfg.hidden_dim, cnn_feature.dtype)
+    dtype = params["embedding"].dtype
+    cnn_feature = cnn_feature.astype(dtype)
+    state = init_state(cfg.cell_type, cfg.num_layers, B, cfg.hidden_dim, dtype)
 
     def body(carry, _):
         x, st = carry

@@ -66,7 +66,9 @@ def gru_cell(layer: Dict[str, jax.Array], x: jax.Array, h: jax.Array) -> jax.Arr
     r = jax.nn.sigmoid(gx[..., :H] + gh[..., :H])
     z = jax.nn.sigmoid(gx[..., H : 2 * H] + gh[..., H : 2 * H])
     n = jnp.tanh(gx[..., 2 * H :] + r * gh[..., 2 * H :])
-    return (1.0 - z) * n + z * h
+    # Accumulate in f32 on the MXU, carry in the incoming state dtype
+    # (bf16 in fast-serving mode) so scan carries keep a stable type.
+    return ((1.0 - z) * n + z * h).astype(h.dtype)
 
 
 def lstm_cell(
@@ -87,7 +89,7 @@ def lstm_cell(
     o = jax.nn.sigmoid(g[..., 3 * H :])
     c2 = f * c + i * gg
     h2 = o * jnp.tanh(c2)
-    return h2, c2
+    return h2.astype(h.dtype), c2.astype(c.dtype)
 
 
 def stack_step_gru(layers: List[Dict[str, jax.Array]], x: jax.Array, hs: jax.Array):
