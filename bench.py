@@ -58,9 +58,10 @@ def main():
     images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
     key = jax.random.PRNGKey(0)
 
-    # Warmup/compile (twice: first run can include autotuning).
-    serve(images, key).block_until_ready()
-    serve(images, key).block_until_ready()
+    # Warmup/compile. A dozen executions: the first several runs through
+    # the axon tunnel are consistently slower than steady state.
+    for i in range(12):
+        serve(images, jax.random.fold_in(key, 1000 + i)).block_until_ready()
 
     iters, reps = 5, 5
     times = []

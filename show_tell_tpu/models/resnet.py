@@ -138,6 +138,35 @@ def _max_pool_3x3s2(x):
     )
 
 
+def _forward_impl(version: int, x: jax.Array, unit):
+    """Shared backbone traversal.  ``unit(conv_name, bn_name, x, stride,
+    padding)`` applies conv (+BN or folded bias)."""
+    block, stages = RESNET_SPECS[version]
+
+    y = unit("conv1", "bn1", x, 2, [(3, 3), (3, 3)])
+    y = jax.nn.relu(y)
+    y = _max_pool_3x3s2(y)
+
+    for s, n_blocks in enumerate(stages):
+        for b in range(n_blocks):
+            prefix = f"layer{s + 1}.{b}"
+            stride = 2 if (b == 0 and s > 0) else 1
+            identity = y
+            if block == "basic":
+                h = jax.nn.relu(unit(f"{prefix}.conv1", f"{prefix}.bn1", y, stride, [(1, 1), (1, 1)]))
+                h = unit(f"{prefix}.conv2", f"{prefix}.bn2", h, 1, [(1, 1), (1, 1)])
+            else:
+                h = jax.nn.relu(unit(f"{prefix}.conv1", f"{prefix}.bn1", y, 1, [(0, 0), (0, 0)]))
+                h = jax.nn.relu(unit(f"{prefix}.conv2", f"{prefix}.bn2", h, stride, [(1, 1), (1, 1)]))
+                h = unit(f"{prefix}.conv3", f"{prefix}.bn3", h, 1, [(0, 0), (0, 0)])
+            if b == 0 and (stride != 1 or identity.shape[-1] != h.shape[-1]):
+                identity = unit(
+                    f"{prefix}.downsample.0", f"{prefix}.downsample.1", y, stride, [(0, 0), (0, 0)]
+                )
+            y = jax.nn.relu(h + identity)
+    return y
+
+
 def resnet_forward(
     params: Dict[str, jax.Array],
     state: Dict[str, jax.Array],
@@ -149,44 +178,26 @@ def resnet_forward(
 
     Returns (features [B, 7, 7, C], new_state).
     """
-    block, stages = RESNET_SPECS[version]
     updates: Dict[str, jax.Array] = {}
 
-    y = _conv(x, params["conv1.weight"], 2, [(3, 3), (3, 3)])
-    y = _bn(params, state, updates, "bn1", y, training)
-    y = jax.nn.relu(y)
-    y = _max_pool_3x3s2(y)
+    def unit(conv_name, bn_name, h, stride, padding):
+        h = _conv(h, params[conv_name + ".weight"], stride, padding)
+        return _bn(params, state, updates, bn_name, h, training)
 
-    expansion = 1 if block == "basic" else 4
-    in_c = 64
-    for s, n_blocks in enumerate(stages):
-        width = STAGE_WIDTHS[s]
-        out_c = width * expansion
-        for b in range(n_blocks):
-            prefix = f"layer{s + 1}.{b}"
-            stride = 2 if (b == 0 and s > 0) else 1
-            identity = y
-            if block == "basic":
-                h = _conv(y, params[f"{prefix}.conv1.weight"], stride, [(1, 1), (1, 1)])
-                h = jax.nn.relu(_bn(params, state, updates, f"{prefix}.bn1", h, training))
-                h = _conv(h, params[f"{prefix}.conv2.weight"], 1, [(1, 1), (1, 1)])
-                h = _bn(params, state, updates, f"{prefix}.bn2", h, training)
-            else:
-                h = _conv(y, params[f"{prefix}.conv1.weight"], 1, [(0, 0), (0, 0)])
-                h = jax.nn.relu(_bn(params, state, updates, f"{prefix}.bn1", h, training))
-                h = _conv(h, params[f"{prefix}.conv2.weight"], stride, [(1, 1), (1, 1)])
-                h = jax.nn.relu(_bn(params, state, updates, f"{prefix}.bn2", h, training))
-                h = _conv(h, params[f"{prefix}.conv3.weight"], 1, [(0, 0), (0, 0)])
-                h = _bn(params, state, updates, f"{prefix}.bn3", h, training)
-            if f"{prefix}.downsample.0.weight" in params:
-                identity = _conv(y, params[f"{prefix}.downsample.0.weight"], stride, [(0, 0), (0, 0)])
-                identity = _bn(params, state, updates, f"{prefix}.downsample.1", identity, training)
-            y = jax.nn.relu(h + identity)
-            in_c = out_c
-
+    y = _forward_impl(version, x, unit)
     new_state = dict(state)
     new_state.update(updates)
     return y, new_state
+
+
+def resnet_forward_folded(folded: Dict[str, jax.Array], version: int, x: jax.Array) -> jax.Array:
+    """Eval-mode forward on BN-folded params (see models/serving.py)."""
+
+    def unit(conv_name, bn_name, h, stride, padding):
+        h = _conv(h, folded[conv_name + ".weight"], stride, padding)
+        return h + folded[conv_name + ".bias"]
+
+    return _forward_impl(version, x, unit)
 
 
 def resnet_params_from_torch(state_dict: Dict[str, Any]):
