@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: fused multi-layer GRU decode step.
+
+One kernel invocation advances the whole L-layer GRU stack one time step
+(the reference's cuDNN fused-RNN equivalent, rnn.py:24).  The grid runs
+over layers; Pallas's pipelined grid double-buffers each layer's weight
+block from HBM into VMEM while the previous layer computes, and the
+inter-layer activation is carried in a VMEM scratch buffer that persists
+across grid steps — so the stack runs HBM-streaming-bound with both MXU
+matmuls per layer fused with the VPU gate math.
+
+Layer 0's input width E may be < H; its weights/inputs are zero-padded to
+H once at preparation time (zeros contribute nothing to the matmul).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def prepare_gru_weights(layers: List[Dict[str, jax.Array]]) -> Dict[str, jax.Array]:
+    """Stack per-layer GRU params into [L, ...] tensors, padding layer 0's
+    input width up to H.  Do this ONCE outside any scan."""
+    H = layers[0]["w_hh"].shape[0]
+    w_ih = []
+    for layer in layers:
+        w = layer["w_ih"]
+        if w.shape[0] < H:
+            w = jnp.pad(w, ((0, H - w.shape[0]), (0, 0)))
+        w_ih.append(w)
+    return {
+        "w_ih": jnp.stack(w_ih),  # [L, H, 3H]
+        "w_hh": jnp.stack([l["w_hh"] for l in layers]),  # [L, H, 3H]
+        "b_ih": jnp.stack([l["b_ih"] for l in layers])[:, None, :],  # [L, 1, 3H]
+        "b_hh": jnp.stack([l["b_hh"] for l in layers])[:, None, :],
+    }
+
+
+def _gru_stack_kernel(x_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref, h_in_ref, h_out_ref, x_buf):
+    l = pl.program_id(0)
+
+    @pl.when(l == 0)
+    def _():
+        x_buf[...] = x_ref[...]
+
+    h = h_in_ref[0]  # [B, H]
+    H = h.shape[-1]
+    gx = jnp.dot(x_buf[...], w_ih_ref[0], preferred_element_type=jnp.float32) + b_ih_ref[0]
+    gh = jnp.dot(h, w_hh_ref[0], preferred_element_type=jnp.float32) + b_hh_ref[0]
+    r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+    z = jax.nn.sigmoid(gx[:, H : 2 * H] + gh[:, H : 2 * H])
+    n = jnp.tanh(gx[:, 2 * H :] + r * gh[:, 2 * H :])
+    h2 = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(h_out_ref.dtype)
+    h_out_ref[0] = h2
+    x_buf[...] = h2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gru_stack_step_pallas(
+    stacked: Dict[str, jax.Array],
+    x: jax.Array,  # [B, E] with E <= H
+    hs: jax.Array,  # [L, B, H]
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (top [B, H], new_hs [L, B, H])."""
+    L, B, H = hs.shape
+    GH = 3 * H
+    E = x.shape[1]
+    assert E <= H, (E, H)
+    if E < H:
+        x = jnp.pad(x, ((0, 0), (0, H - E)))
+    x = x.astype(hs.dtype)
+
+    new_hs = pl.pallas_call(
+        _gru_stack_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, B, H), hs.dtype),
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, H), hs.dtype)],
+        interpret=interpret,
+    )(x, stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"], hs)
+    return new_hs[-1], new_hs
+
+
+def greedy_decode_pallas(
+    params: Dict[str, Any],
+    cfg,
+    cnn_feature: jax.Array,  # [B, E]
+    interpret: bool = False,
+) -> jax.Array:
+    """Greedy decode (reference rnn.py:44-58 semantics) with the fused
+    Pallas stack step; vocab projection / argmax / embedding gather stay in
+    XLA (they lower well already)."""
+    assert cfg.cell_type == "gru"
+    B = cnn_feature.shape[0]
+    dtype = params["embedding"].dtype
+    stacked = prepare_gru_weights(params["rnn"])
+    stacked = jax.tree.map(lambda w: w.astype(dtype), stacked)
+    hs0 = jnp.zeros((cfg.num_layers, B, cfg.hidden_dim), dtype)
+
+    def body(carry, _):
+        x, hs = carry
+        top, hs2 = gru_stack_step_pallas(stacked, x, hs, interpret=interpret)
+        logits = jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
+        tok = jnp.argmax(logits, axis=-1)
+        return (params["embedding"][tok], hs2), tok
+
+    x0 = cnn_feature.astype(dtype)
+    (_, _), toks = jax.lax.scan(body, (x0, hs0), None, length=cfg.max_caption_length)
+    return jnp.swapaxes(toks, 0, 1)

@@ -1,0 +1,63 @@
+"""Pallas kernel tests (interpret mode on CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from show_tell_tpu.data.transforms import preprocess_images
+from show_tell_tpu.models.decoder import DecoderConfig, greedy_decode, init_decoder_params
+from show_tell_tpu.models.rnn_cells import init_state, rnn_scan, stack_step_gru
+from show_tell_tpu.ops.preprocess_pallas import preprocess_images_pallas
+from show_tell_tpu.ops.rnn_pallas import (
+    greedy_decode_pallas,
+    gru_stack_step_pallas,
+    prepare_gru_weights,
+)
+
+
+def test_preprocess_pallas_matches_xla():
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (8, 16, 24, 3), dtype=np.uint8)  # 16*24*3=1152=9*128
+    ref = preprocess_images(imgs, jax.random.PRNGKey(0), augment=False, dtype=jnp.float32)
+    got = preprocess_images_pallas(jnp.asarray(imgs), dtype=jnp.float32, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_gru_stack_step_pallas_matches_reference_cell():
+    B, E, H, L, V = 16, 128, 128, 3, 50
+    cfg = DecoderConfig("gru", E, H, V, L)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    stacked = prepare_gru_weights(params["rnn"])
+    x = jnp.asarray(np.random.RandomState(1).randn(B, E).astype(np.float32))
+    hs = jnp.asarray(np.random.RandomState(2).randn(L, B, H).astype(np.float32))
+
+    ref_top, ref_hs = stack_step_gru(params["rnn"], x, hs)
+    top, new_hs = gru_stack_step_pallas(stacked, x, hs, interpret=True)
+    np.testing.assert_allclose(np.asarray(top), np.asarray(ref_top), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_hs), np.asarray(ref_hs), rtol=1e-5, atol=1e-5)
+
+
+def test_gru_stack_step_pallas_padded_input():
+    """E < H: layer-0 padding must not change results."""
+    B, E, H, L, V = 16, 64, 128, 2, 50
+    cfg = DecoderConfig("gru", E, H, V, L)
+    params = init_decoder_params(jax.random.PRNGKey(3), cfg)
+    stacked = prepare_gru_weights(params["rnn"])
+    x = jnp.asarray(np.random.RandomState(4).randn(B, E).astype(np.float32))
+    hs = jnp.zeros((L, B, H), jnp.float32)
+
+    ref_top, ref_hs = stack_step_gru(params["rnn"], x, hs)
+    top, new_hs = gru_stack_step_pallas(stacked, x, hs, interpret=True)
+    np.testing.assert_allclose(np.asarray(top), np.asarray(ref_top), rtol=1e-5, atol=1e-5)
+
+
+def test_greedy_decode_pallas_matches_xla():
+    B, E, H, L, V = 16, 64, 128, 2, 50
+    cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=10)
+    params = init_decoder_params(jax.random.PRNGKey(5), cfg)
+    feat = jnp.asarray(np.random.RandomState(6).randn(B, E).astype(np.float32))
+    ref = np.asarray(greedy_decode(params, cfg, feat))
+    got = np.asarray(greedy_decode_pallas(params, cfg, feat, interpret=True))
+    np.testing.assert_array_equal(got, ref)
