@@ -2,5 +2,9 @@
 
 from show_tell_tpu.cli.run import run
 
-if __name__ == "__main__":
+def run_cli():
     run("gru")
+
+
+if __name__ == "__main__":
+    run_cli()

@@ -1,0 +1,143 @@
+"""Aux subsystems: torch checkpoint import, generic beam, profiling,
+metrics logging, loss-analysis tool."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_import_torch_checkpoint(tmp_path):
+    """A reference-format torch.save checkpoint loads and reproduces the
+    torch model's logits through our stack."""
+    torch = pytest.importorskip("torch")
+    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_greedy_decode
+    from show_tell_tpu.train.checkpoint import import_torch_checkpoint
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_resnet_oracle import TorchResNet
+
+    torch.manual_seed(0)
+    backbone = TorchResNet(18)
+    lin = torch.nn.Linear(512, 20)
+    bn = torch.nn.BatchNorm1d(20, momentum=0.01)
+    idx_map = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5", "layer3": "6", "layer4": "7"}
+    enc_sd = {}
+    for k, v in backbone.state_dict().items():
+        if k.startswith("fc."):
+            continue
+        root = k.split(".")[0]
+        enc_sd["model." + idx_map[root] + k[len(root):]] = v
+    for k, v in lin.state_dict().items():
+        enc_sd["linear_secondlast_layer." + k] = v
+    for k, v in bn.state_dict().items():
+        enc_sd["last_layer." + k] = v
+
+    emb = torch.nn.Embedding(30, 20)
+    unit = torch.nn.GRU(20, 24, 2, batch_first=True)
+    out_lin = torch.nn.Linear(24, 30)
+    dec_sd = {"embeddings.weight": emb.weight}
+    for k, v in unit.state_dict().items():
+        dec_sd["unit." + k] = v
+    dec_sd["linear.weight"], dec_sd["linear.bias"] = out_lin.weight, out_lin.bias
+
+    ckpt_path = str(tmp_path / "model_1.ckpt")
+    torch.save(
+        {
+            "encoder_state_dict": enc_sd,
+            "decoder_state_dict": dec_sd,
+            "optimizer_state_dict": {},
+            "epoch": 1,
+            "step": 10,
+        },
+        ckpt_path,
+    )
+
+    cfg = CaptionerConfig("gru", 18, 20, 24, 30, 2)
+    params, state = import_torch_checkpoint(ckpt_path, cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32))
+    ids = captioner_greedy_decode(params, state, cfg, x)
+    assert ids.shape == (2, 25)
+
+    # Cross-check decode against the torch modules run eval-style.
+    backbone.eval(), lin.eval(), bn.eval(), unit.eval()
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(np.asarray(x), (0, 3, 1, 2)))
+        feat = bn(lin(backbone.avgpool(backbone.features(xt)).flatten(1)))
+        rnn_data = feat.unsqueeze(1)
+        hidden = None
+        toks = []
+        for _ in range(25):
+            o, hidden = unit(rnn_data, hidden)
+            tok = out_lin(o.squeeze(1)).max(1)[1]
+            toks.append(tok)
+            rnn_data = emb(tok).unsqueeze(1)
+        ref = torch.stack(toks, 1).numpy()
+    np.testing.assert_array_equal(np.asarray(ids), ref)
+
+
+def test_generic_beam_search():
+    """Deterministic 3-state toy LM: beam must find the highest-prob path."""
+    from show_tell_tpu.decode.generic import beam_search
+
+    V = 5
+    END = 4
+
+    def initial_state(_x):
+        return 0
+
+    def generate(state, _value):
+        probs = np.full(V, 0.01)
+        if state == 0:
+            probs[1] = 0.9
+        elif state == 1:
+            probs[2] = 0.8
+        else:
+            probs[END] = 0.9
+        probs /= probs.sum()
+        return probs, min(state + 1, 2)
+
+    hyps = beam_search(initial_state, generate, None, start_id=3, end_id=END, beam_width=3)
+    assert hyps[0] == [3, 1, 2, END]
+
+
+def test_step_timer_and_metrics_logger(tmp_path):
+    from show_tell_tpu.utils import MetricsLogger, StepTimer
+
+    timer = StepTimer()
+    with timer.stage("data"):
+        pass
+    with timer.stage("step"):
+        pass
+    with timer.stage("step"):
+        pass
+    s = timer.summary()
+    assert s["step"]["count"] == 2 and s["data"]["count"] == 1
+
+    logger = MetricsLogger(str(tmp_path))
+    logger.log("train_step", step=1, loss=3.2)
+    logger.log("eval", step=1, bleu4=0.3)
+    records = logger.read()
+    assert len(records) == 2 and records[0]["loss"] == 3.2
+
+
+def test_loss_analysis_tool(tmp_path):
+    run = tmp_path / "GRU_512_lr_0_001"
+    run.mkdir()
+    for epoch in (1, 2):
+        with open(run / ("model_%d_metrics.ckpt" % epoch), "wb") as f:
+            pickle.dump({"train_loss": [3.0 - epoch, 2.9 - epoch]}, f)
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools", "loss_analysis.py"), str(tmp_path)],
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "GRU_512_lr_0_001" in out.stdout
+    assert "epoch   1" in out.stdout
