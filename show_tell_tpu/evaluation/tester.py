@@ -49,18 +49,32 @@ def create_caption_word_format(tokenized, vocab, flag_blue: bool = False) -> Lis
     return caption_words
 
 
-def make_test_step(cfg: CaptionerConfig, beam_size: int = 0, augment: bool = True):
+def make_test_step(
+    cfg: CaptionerConfig,
+    beam_size: int = 0,
+    augment: bool = True,
+    use_pallas: bool = False,
+    compute_dtype=None,
+):
     """Jitted (loss, decoded ids) for one batch; beam_size>0 uses the
-    standard batched beam (non-attention decoders only, like the ref)."""
+    standard batched beam (non-attention decoders only, like the ref);
+    use_pallas routes greedy GRU decode through the fused Pallas kernel."""
+
+    dtype = compute_dtype or jnp.float32
 
     @jax.jit
     def run(trainable, frozen, bn_state, images_u8, captions, lengths, key):
-        images = preprocess_images(images_u8, key, augment=augment)
+        images = preprocess_images(images_u8, key, augment=augment, dtype=dtype)
         params = merge_params(trainable, frozen)
         loss, _ = captioner_loss(params, bn_state, cfg, images, captions, lengths, training=False)
         if beam_size > 0 and not cfg.is_attention:
             feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
             ids = beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam_size)
+        elif use_pallas and cfg.cell_type == "gru" and not cfg.is_attention:
+            from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
+
+            feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
+            ids = greedy_decode_pallas(params["decoder"], cfg.decoder_config(), feats)
         else:
             ids = captioner_greedy_decode(params, bn_state, cfg, images)
         return loss, ids
@@ -89,7 +103,22 @@ def test_model(
     if sub_batch_size == -1:
         sub_batch_size = len(data_loader)
 
-    step_fn = make_test_step(cfg, 0 if faithful_beam else beam_size)
+    if params.get("compute_dtype") == "bfloat16":
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
+        )
+        train_state = train_state._replace(
+            trainable=cast(train_state.trainable),
+            frozen=cast(train_state.frozen),
+            bn_state=cast(train_state.bn_state),
+        )
+
+    step_fn = make_test_step(
+        cfg,
+        0 if faithful_beam else beam_size,
+        use_pallas=bool(params.get("use_pallas")),
+        compute_dtype=(jnp.bfloat16 if params.get("compute_dtype") == "bfloat16" else None),
+    )
     key = jax.random.PRNGKey(seed)
 
     start_time = time.time()

@@ -99,12 +99,14 @@ def greedy_decode_pallas(
     params: Dict[str, Any],
     cfg,
     cnn_feature: jax.Array,  # [B, E]
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jax.Array:
     """Greedy decode (reference rnn.py:44-58 semantics) with the fused
     Pallas stack step; vocab projection / argmax / embedding gather stay in
     XLA (they lower well already)."""
     assert cfg.cell_type == "gru"
+    if interpret is None:  # auto: Mosaic needs a TPU; interpret elsewhere
+        interpret = jax.default_backend() != "tpu"
     B = cnn_feature.shape[0]
     dtype = params["embedding"].dtype
     stacked = prepare_gru_weights(params["rnn"])

@@ -11,7 +11,7 @@ over ICI automatically.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax
@@ -44,3 +44,66 @@ def shard_batch(mesh: Mesh, *arrays):
 
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
+
+
+def decoder_param_shardings(mesh: Mesh, trainable) -> Any:
+    """Tensor-parallel sharding rule for the decoder's large params.
+
+    The vocab-sized tensors dominate decoder memory and FLOPs:
+      * ``decoder.linear.w [H, V]`` / ``.b [V]`` shard over ``mp`` on the
+        vocab axis — each device computes a [B, V/mp] logit shard and
+        GSPMD turns the softmax/argmax reductions into ICI collectives;
+      * ``decoder.embedding [V, E]`` shards over ``mp`` on V — token
+        gathers become collective lookups.
+    Everything else (recurrence weights, encoder head) is replicated —
+    at H=512 the MXU tiles are already small; splitting them would only
+    add latency (SURVEY.md §2.4: DP is the justified strategy, TP exists
+    as a mesh-axis hook).
+
+    Returns a pytree of NamedSharding matching ``trainable``.
+    """
+
+    def rule(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if "decoder" in names and "linear" in names and names[-1] == "w":
+            return NamedSharding(mesh, P(None, "mp"))
+        if "decoder" in names and "linear" in names and names[-1] == "b":
+            return NamedSharding(mesh, P("mp"))
+        if "decoder" in names and names[-1] == "embedding":
+            return NamedSharding(mesh, P("mp", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, trainable)
+
+
+def shard_train_state(mesh: Mesh, train_state, tensor_parallel: bool = False):
+    """Place a TrainState on the mesh: params replicated (or TP-sharded
+    per decoder_param_shardings), optimizer state sharded like its params."""
+    if not tensor_parallel:
+        return replicate(mesh, train_state)
+    t_sh = decoder_param_shardings(mesh, train_state.trainable)
+
+    def put_like_params(subtree):
+        """Shard a subtree that mirrors the trainable tree; else replicate."""
+        if jax.tree.structure(subtree) == jax.tree.structure(train_state.trainable):
+            return jax.tree.map(lambda x, s: jax.device_put(x, s), subtree, t_sh)
+        return replicate(mesh, subtree)
+
+    # optax chain state: tuple of per-transform states, each a NamedTuple
+    # whose fields either mirror the param tree (trace/mu/nu) or are
+    # scalars (count).
+    new_opt = []
+    for st in train_state.opt_state:
+        if hasattr(st, "_fields"):
+            new_opt.append(type(st)(**{f: put_like_params(getattr(st, f)) for f in st._fields}))
+        else:
+            new_opt.append(replicate(mesh, st))
+
+    return type(train_state)(
+        jax.tree.map(lambda x, s: jax.device_put(x, s), train_state.trainable, t_sh),
+        replicate(mesh, train_state.frozen),
+        replicate(mesh, train_state.bn_state),
+        tuple(new_opt),
+        replicate(mesh, train_state.rng),
+        replicate(mesh, train_state.step),
+    )

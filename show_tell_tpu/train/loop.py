@@ -82,17 +82,30 @@ def train(
     step = make_train_step(cfg, optimizer, augment=True)
 
     os.makedirs(params["output_dir"], exist_ok=True)
+    from show_tell_tpu.utils import MetricsLogger, StepTimer
+
+    logger = MetricsLogger(params["output_dir"])
+    timer = StepTimer()
     start_time = time.time()
     print("Training started.")
     idx = -1
     for epoch in range(params["num_epochs"]):
         print("Epoch %d started." % (epoch + 1))
         train_loss = []
-        for idx, (_, images, captions, lengths) in enumerate(train_data_loader):
-            if mesh is not None:
-                images, captions, lengths = shard_batch(mesh, images, captions, lengths)
-            ts, loss = step(ts, images, captions, lengths)
-            train_loss.append(float(loss))
+        loader_iter = iter(train_data_loader)
+        while True:
+            with timer.stage("data"):
+                batch = next(loader_iter, None)
+            if batch is None:
+                break
+            idx = len(train_loss)
+            _, images, captions, lengths = batch
+            with timer.stage("step"):
+                if mesh is not None:
+                    images, captions, lengths = shard_batch(mesh, images, captions, lengths)
+                ts, loss = step(ts, images, captions, lengths)
+                loss = float(loss)  # device sync: keeps timings honest
+            train_loss.append(loss)
             if (idx + 1) % 5000 == 0:
                 create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
             if (idx + 1) % 500 == 0 or (idx + 1) == len(train_data_loader):
@@ -100,7 +113,16 @@ def train(
                     "Epoch %d (Step %d) - %0.4f train loss, %0.2f time."
                     % (epoch + 1, idx + 1, train_loss[-1], time.time() - start_time)
                 )
+                logger.log("train_step", step=idx + 1, epoch=epoch + 1, loss=train_loss[-1], timing=timer.summary())
         print("Epoch %d - %0.4f loss, %.2f time. " % (epoch + 1, np.mean(train_loss), time.time() - start_time))
+        logger.log(
+            "epoch",
+            step=idx + 1,
+            epoch=epoch + 1,
+            mean_loss=float(np.mean(train_loss)),
+            timing=timer.summary(),
+        )
+        timer.reset()
         create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
 
         if eval_every_epochs and (epoch + 1) % eval_every_epochs == 0 and test_data_loader is not None:

@@ -104,3 +104,17 @@ def test_resume_training(trained):
         ),
     )
     assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
+
+
+def test_pallas_and_bf16_test_phase(trained):
+    data_root, out_dir, _ = trained
+    res = run(
+        "gru",
+        _argv(
+            data_root,
+            out_dir,
+            ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1",
+             "--use_pallas", "1", "--compute_dtype", "bfloat16"],
+        ),
+    )
+    assert np.isfinite(res["scores"]["Bleu_1"])

@@ -140,3 +140,37 @@ def test_dp_sharded_step_matches_single_device():
         ts_a.trainable,
         ts_b.trainable,
     )
+
+
+def test_tp_dp_hybrid_step_matches_single_device():
+    """dp=4 x mp=2 mesh with vocab-sharded decoder params must reproduce
+    the single-device step (GSPMD inserts the collectives)."""
+    from show_tell_tpu.parallel.mesh import make_mesh, shard_batch, shard_train_state
+
+    assert len(jax.devices()) >= 8
+    # SGD: Adam's first-step update is effectively sign(grad), which
+    # amplifies float-reduction noise into full-size mismatches.
+    opt = make_optimizer("SGD", 0.01, 0.9)
+    cfg = CFG._replace(num_layers=1)
+    step = make_train_step(cfg, opt, augment=False)
+    images, captions, lengths = make_batch(np.random.RandomState(7), B=8)
+
+    ts_single = create_train_state(jax.random.PRNGKey(8), cfg, opt)
+    ts_a, loss_a = step(ts_single, images, captions, lengths)
+
+    mesh = make_mesh(dp=4, mp=2)
+    ts_tp = shard_train_state(
+        mesh, create_train_state(jax.random.PRNGKey(8), cfg, opt), tensor_parallel=True
+    )
+    # Sharding sanity: the vocab projection is split over mp.
+    w_sh = ts_tp.trainable["decoder"]["linear"]["w"].sharding
+    assert "mp" in (w_sh.spec[1],), w_sh
+    sb = shard_batch(mesh, images, captions, lengths)
+    ts_b, loss_b = step(ts_tp, *sb)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        ts_a.trainable,
+        ts_b.trainable,
+    )
