@@ -84,9 +84,16 @@ def restore_train_state(train_state, ckpt: Dict[str, Any]):
     trainable = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.trainable, trainable)
     frozen = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.frozen, frozen)
     bn_state = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.bn_state, enc["bn_state"])
-    opt_state = jax.tree.map(
-        lambda _, v: jax.numpy.asarray(v), train_state.opt_state, ckpt["optimizer_state_dict"]
-    )
+    try:
+        opt_state = jax.tree.map(
+            lambda _, v: jax.numpy.asarray(v), train_state.opt_state, ckpt["optimizer_state_dict"]
+        )
+    except ValueError:
+        # Checkpoint was written with a different optimizer (e.g. Adam ckpt
+        # restored into an SGD run, common when only evaluating). Weights
+        # still restore; momentum state starts fresh.
+        print("Optimizer state in checkpoint does not match the current optimizer; resetting it.")
+        opt_state = train_state.opt_state
     return TrainState(trainable, frozen, bn_state, opt_state, train_state.rng, train_state.step)
 
 
