@@ -35,6 +35,7 @@ import numpy as np
 from PIL import Image
 
 from show_tell_tpu.data.coco import CocoCaptions
+from show_tell_tpu.native import fastimage as native_fastimage
 from show_tell_tpu.vocab.tokenize import word_tokenize
 
 IMAGE_SIZE = 224
@@ -47,10 +48,20 @@ DEFAULT_PAD_LENGTH = 64
 class MSCOCO:
     """Annotation-keyed COCO captions dataset (reference utils.py:23-59)."""
 
-    def __init__(self, ann_path: str, data_path: str, vocab, train: bool = True):
+    def __init__(
+        self,
+        ann_path: str,
+        data_path: str,
+        vocab,
+        train: bool = True,
+        use_native_decode: Optional[bool] = None,
+    ):
         self.data_path = data_path
         self.vocab = vocab
         self.train = train
+        if use_native_decode is None:
+            use_native_decode = native_fastimage.is_available()
+        self.use_native_decode = use_native_decode
         coco = CocoCaptions(ann_path)
         self.annotation_ids = list(coco.anns.keys())
         self.annotation_obj = coco
@@ -64,14 +75,26 @@ class MSCOCO:
         v = self.vocab
         return [v("<start>")] + [v(t) for t in tokens] + [v("<end>")]
 
-    def __getitem__(self, sample_idx: int) -> Tuple[str, np.ndarray, List[int]]:
-        ann = self.annotation_obj.anns[self.annotation_ids[sample_idx]]
-        image_path = self.annotation_obj.loadImgs(ann["image_id"])[0]["file_name"]
-        img = Image.open(os.path.join(self.data_path, image_path)).convert("RGB")
+    def _load_image(self, full_path: str) -> np.ndarray:
+        if self.use_native_decode:
+            # Native libjpeg decode + PIL-equivalent antialiased bilinear
+            # resize (within 1 LSB of PIL); releases the GIL and thread-
+            # scales on multi-core hosts (show_tell_tpu/native).
+            try:
+                with open(full_path, "rb") as f:
+                    return native_fastimage.decode_resize(f.read(), IMAGE_SIZE, IMAGE_SIZE)
+            except ValueError:
+                pass  # non-JPEG or corrupt: fall through to PIL
+        img = Image.open(full_path).convert("RGB")
         # torchvision Resize((224,224)) on a PIL image == PIL bilinear
         # resize with antialias (utils.py:84).
         img = img.resize((IMAGE_SIZE, IMAGE_SIZE), Image.BILINEAR)
-        image = np.asarray(img, dtype=np.uint8)  # HWC uint8
+        return np.asarray(img, dtype=np.uint8)
+
+    def __getitem__(self, sample_idx: int) -> Tuple[str, np.ndarray, List[int]]:
+        ann = self.annotation_obj.anns[self.annotation_ids[sample_idx]]
+        image_path = self.annotation_obj.loadImgs(ann["image_id"])[0]["file_name"]
+        image = self._load_image(os.path.join(self.data_path, image_path))
         return image_path, image, self.caption_ids(sample_idx)
 
 

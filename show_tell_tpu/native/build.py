@@ -1,0 +1,45 @@
+"""Build the native fastimage library (g++ + libjpeg).
+
+Usage: python -m show_tell_tpu.native.build
+The library is also auto-built on first use (fastimage.is_available()).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+SRC = os.path.join(os.path.dirname(__file__), "fastimage.cpp")
+LIB = os.path.join(os.path.dirname(__file__), "libfastimage.so")
+
+
+def build(verbose: bool = True) -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        SRC,
+        "-o",
+        LIB,
+        "-ljpeg",
+        "-lpthread",
+    ]
+    try:
+        result = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        if verbose:
+            print("fastimage build failed:", e)
+        return False
+    if result.returncode != 0:
+        if verbose:
+            print("fastimage build failed:\n", result.stderr)
+        return False
+    if verbose:
+        print("built", LIB)
+    return True
+
+
+if __name__ == "__main__":
+    raise SystemExit(0 if build() else 1)

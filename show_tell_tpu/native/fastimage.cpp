@@ -1,0 +1,192 @@
+// fastimage: native JPEG decode + antialiased bilinear resize for the
+// host input pipeline.
+//
+// TPU-native replacement for the reference's PIL decode + torchvision
+// Resize (reference utils.py:45,84): the host side of the input pipeline
+// must sustain thousands of JPEG decodes/sec to feed the chip
+// (SURVEY.md §7 "input pipeline throughput"), which Python-side PIL
+// cannot do on few cores.  Decode uses libjpeg; the resize implements
+// PIL's triangle (bilinear-with-antialias) resampling so host pixels
+// match the parity path closely.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this toolchain).
+//
+// Build: see build.py (g++ -O3 -shared -fPIC fastimage.cpp -ljpeg -lpthread).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG buffer to RGB8. Returns 0 on success.
+int decode_rgb(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
+               int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_RGB;  // grayscale/CMYK converted like PIL's .convert('RGB')
+  jpeg_start_decompress(&cinfo);
+  *width = cinfo.output_width;
+  *height = cinfo.output_height;
+  out->resize(size_t(*width) * *height * 3);
+  const size_t stride = size_t(*width) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// PIL-style triangle-filter resampling coefficients for one axis.
+struct AxisCoeffs {
+  std::vector<int> bounds_lo;     // first source index per output pixel
+  std::vector<int> counts;        // taps per output pixel
+  std::vector<double> weights;    // taps (normalized), max_taps per pixel
+  int max_taps = 0;
+};
+
+AxisCoeffs compute_coeffs(int in_size, int out_size) {
+  AxisCoeffs c;
+  const double scale = double(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 1.0 * filterscale;  // triangle filter support
+  c.max_taps = int(std::ceil(support)) * 2 + 1;
+  c.bounds_lo.resize(out_size);
+  c.counts.resize(out_size);
+  c.weights.assign(size_t(out_size) * c.max_taps, 0.0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int lo = int(center - support + 0.5);
+    int hi = int(center + support + 0.5);
+    lo = std::max(lo, 0);
+    hi = std::min(hi, in_size);
+    double* w = &c.weights[size_t(xx) * c.max_taps];
+    double total = 0.0;
+    for (int x = lo; x < hi; ++x) {
+      double t = (x - center + 0.5) / filterscale;
+      double val = (t < 0 ? 1.0 + t : 1.0 - t);
+      if (val < 0) val = 0;
+      w[x - lo] = val;
+      total += val;
+    }
+    if (total != 0.0)
+      for (int i = 0; i < hi - lo; ++i) w[i] /= total;
+    c.bounds_lo[xx] = lo;
+    c.counts[xx] = hi - lo;
+  }
+  return c;
+}
+
+inline uint8_t clamp8(double v) {
+  return uint8_t(std::min(255.0, std::max(0.0, v + 0.5)));
+}
+
+// Resize RGB8 (h_in x w_in) -> (h_out x w_out), horizontal then vertical.
+void resize_rgb(const uint8_t* in, int w_in, int h_in, uint8_t* out, int w_out,
+                int h_out) {
+  AxisCoeffs cx = compute_coeffs(w_in, w_out);
+  AxisCoeffs cy = compute_coeffs(h_in, h_out);
+
+  // Horizontal pass into a float intermediate (PIL uses 8-bit rounding per
+  // pass; float keeps us within ~1 LSB of PIL).
+  std::vector<float> tmp(size_t(h_in) * w_out * 3);
+  for (int y = 0; y < h_in; ++y) {
+    const uint8_t* row = in + size_t(y) * w_in * 3;
+    float* trow = tmp.data() + size_t(y) * w_out * 3;
+    for (int x = 0; x < w_out; ++x) {
+      const double* w = &cx.weights[size_t(x) * cx.max_taps];
+      const int lo = cx.bounds_lo[x];
+      double r = 0, g = 0, b = 0;
+      for (int i = 0; i < cx.counts[x]; ++i) {
+        const uint8_t* px = row + size_t(lo + i) * 3;
+        r += w[i] * px[0];
+        g += w[i] * px[1];
+        b += w[i] * px[2];
+      }
+      trow[x * 3 + 0] = float(r);
+      trow[x * 3 + 1] = float(g);
+      trow[x * 3 + 2] = float(b);
+    }
+  }
+  // Vertical pass.
+  for (int y = 0; y < h_out; ++y) {
+    const double* w = &cy.weights[size_t(y) * cy.max_taps];
+    const int lo = cy.bounds_lo[y];
+    uint8_t* orow = out + size_t(y) * w_out * 3;
+    for (int x = 0; x < w_out * 3; ++x) {
+      double acc = 0;
+      for (int i = 0; i < cy.counts[y]; ++i)
+        acc += w[i] * tmp[size_t(lo + i) * w_out * 3 + x];
+      orow[x] = clamp8(acc);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one JPEG and resize to (out_h, out_w) RGB8. Returns 0 on success.
+int st_decode_resize(const uint8_t* jpeg, size_t len, int out_h, int out_w,
+                     uint8_t* out_rgb) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  int rc = decode_rgb(jpeg, len, &rgb, &w, &h);
+  if (rc != 0) return rc;
+  resize_rgb(rgb.data(), w, h, out_rgb, out_w, out_h);
+  return 0;
+}
+
+// Batched, threaded variant. bufs/lens: n JPEG buffers; out: n*out_h*out_w*3.
+// Per-image status written to statuses. Returns number of failures.
+int st_decode_resize_batch(const uint8_t** bufs, const size_t* lens, int n,
+                           int out_h, int out_w, uint8_t* out, int* statuses,
+                           int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const size_t stride = size_t(out_h) * out_w * 3;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) {
+    threads.emplace_back([&, t]() {
+      for (int i = t; i < n; i += n_threads)
+        statuses[i] = st_decode_resize(bufs[i], lens[i], out_h, out_w, out + stride * i);
+    });
+  }
+  for (auto& th : threads) th.join();
+  int failures = 0;
+  for (int i = 0; i < n; ++i) failures += (statuses[i] != 0);
+  return failures;
+}
+}

@@ -1,0 +1,108 @@
+"""ctypes binding for the native JPEG decode + resize library.
+
+The native path replaces PIL decode + resize in the host input pipeline
+(data/dataset.py uses it automatically when available); PIL remains the
+fallback and the parity reference.  pybind11 is not in this toolchain,
+so the C ABI + ctypes is the binding layer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libfastimage.so")
+_lib = None
+_lock = threading.Lock()
+_build_attempted = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_attempted
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.isfile(_LIB_PATH) and not _build_attempted:
+            _build_attempted = True
+            from show_tell_tpu.native.build import build
+
+            build(verbose=False)
+        if not os.path.isfile(_LIB_PATH):
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.st_decode_resize.restype = ctypes.c_int
+        lib.st_decode_resize.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.st_decode_resize_batch.restype = ctypes.c_int
+        lib.st_decode_resize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def decode_resize(jpeg_bytes: bytes, out_h: int, out_w: int) -> np.ndarray:
+    """JPEG bytes -> uint8 RGB [out_h, out_w, 3]. Raises on decode error."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libfastimage.so unavailable (build failed?)")
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    rc = lib.st_decode_resize(
+        jpeg_bytes,
+        len(jpeg_bytes),
+        out_h,
+        out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError("JPEG decode failed (status %d)" % rc)
+    return out
+
+
+def decode_resize_batch(
+    jpeg_buffers: Sequence[bytes], out_h: int, out_w: int, n_threads: int = 0
+) -> Tuple[np.ndarray, List[int]]:
+    """Threaded batch decode. Returns (uint8 [N, H, W, 3], statuses)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libfastimage.so unavailable (build failed?)")
+    n = len(jpeg_buffers)
+    out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    statuses = (ctypes.c_int * n)()
+    bufs = (ctypes.c_char_p * n)(*jpeg_buffers)
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
+    if n_threads <= 0:
+        n_threads = min(max(os.cpu_count() or 1, 1), max(n, 1))
+    lib.st_decode_resize_batch(
+        bufs,
+        lens,
+        n,
+        out_h,
+        out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        statuses,
+        n_threads,
+    )
+    return out, list(statuses)

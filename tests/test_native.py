@@ -1,0 +1,84 @@
+"""Native fastimage (C++ JPEG decode + resize) tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from show_tell_tpu.native import decode_resize, decode_resize_batch, is_available
+
+pytestmark = pytest.mark.skipif(not is_available(), reason="libfastimage build unavailable")
+
+
+def _jpeg(seed=0, size=(320, 240), quality=92):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (24, 32, 3)).astype(np.uint8)
+    img = Image.fromarray(base).resize(size, Image.BILINEAR)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def _pil_ref(jpeg, size=224):
+    img = Image.open(io.BytesIO(jpeg)).convert("RGB").resize((size, size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def test_decode_resize_matches_pil_within_1lsb():
+    jpeg = _jpeg()
+    got = decode_resize(jpeg, 224, 224)
+    ref = _pil_ref(jpeg)
+    assert got.shape == (224, 224, 3)
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_decode_resize_upscale():
+    jpeg = _jpeg(size=(60, 40))
+    got = decode_resize(jpeg, 224, 224)
+    ref = _pil_ref(jpeg)
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    # Upscale path (no antialias window): still within a couple LSB.
+    assert diff.mean() < 1.0 and diff.max() <= 3
+
+
+def test_grayscale_jpeg_converts_to_rgb():
+    img = Image.fromarray(np.random.RandomState(0).randint(0, 255, (100, 80)).astype(np.uint8), "L")
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    got = decode_resize(buf.getvalue(), 64, 64)
+    assert got.shape == (64, 64, 3)
+    # All three channels equal for grayscale input.
+    assert np.array_equal(got[..., 0], got[..., 1])
+
+
+def test_corrupt_jpeg_raises():
+    with pytest.raises(ValueError):
+        decode_resize(b"not a jpeg at all", 64, 64)
+
+
+def test_batch_decode():
+    jpegs = [_jpeg(s) for s in range(5)] + [b"garbage"]
+    out, statuses = decode_resize_batch(jpegs, 128, 128, n_threads=2)
+    assert out.shape == (6, 128, 128, 3)
+    assert statuses[:5] == [0] * 5
+    assert statuses[5] != 0
+    single = decode_resize(jpegs[2], 128, 128)
+    np.testing.assert_array_equal(out[2], single)
+
+
+def test_dataset_native_vs_pil_pixels(tmp_path):
+    from fixtures import build_mini_coco, mini_params
+    from show_tell_tpu.data.dataset import MSCOCO
+    from show_tell_tpu.vocab import get_vocabulary
+
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"))
+    vocab = get_vocabulary("MSCOCO", params)
+    ds_native = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab, use_native_decode=True)
+    ds_pil = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab, use_native_decode=False)
+    _, img_n, _ = ds_native[0]
+    _, img_p, _ = ds_pil[0]
+    assert np.abs(img_n.astype(int) - img_p.astype(int)).max() <= 1
