@@ -21,6 +21,52 @@ import time
 import numpy as np
 
 
+def bench_train(batch: int = 128):
+    """Secondary mode (`python bench.py --train [B]`): full train-step
+    throughput in f32 (parity dtype).  Reference baseline: ~402 samples/s
+    on an RTX 2080 (28.6h for 100 epochs x 414k samples, BASELINE.md).
+    Note: B=256 currently hits an XLA memory/algorithm cliff (~4x slower
+    than B=128 per sample) — B=128 is the sweet spot on one v5e chip."""
+    import jax
+
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state, make_train_step
+
+    cfg = CaptionerConfig(
+        variant="gru", resnet_version=101, embed_dim=256, hidden_dim=512, vocab_size=9956, num_layers=5
+    )
+    opt = make_optimizer("SGD", 0.001, 0.9)
+    ts = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, opt, augment=True)
+
+    rng = np.random.RandomState(0)
+    T = 32
+    images = rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8)
+    captions = rng.randint(4, 9956, (batch, T)).astype(np.int32)
+    lengths = np.sort(rng.randint(8, T + 1, batch))[::-1].astype(np.int32).copy()
+
+    for _ in range(12):
+        ts, loss = step(ts, images, captions, lengths)
+    jax.block_until_ready(loss)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, loss = step(ts, images, captions, lengths)
+    jax.block_until_ready(loss)
+    sps = batch * iters / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_per_chip",
+                "value": round(sps, 2),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(sps / 402.0, 3),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -87,4 +133,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--train"]
+        bench_train(int(args[0]) if args else 128)
+    else:
+        main()
