@@ -10,19 +10,104 @@ are gathered with a batched index select.  No host sync inside the loop
 (the reference's in-class beam, rnn.py:60-108, syncs every step and only
 supports batch=1; its quirks are reproduced separately in
 ``faithful_beam.py`` behind --faithful_beam).
+
+A shared engine (`_beam_engine`) drives both decoder families:
+  * ``beam_search_decode`` — GRU/LSTM captioners (step 0 consumes the
+    image feature, rnn.py:41);
+  * ``attn_beam_search_decode`` — soft-attention decoders (step 0
+    consumes <start>; attention context recomputed per hypothesis).
+    The reference has no attention beam (greedy only) — this is a
+    framework extension.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from show_tell_tpu.models.attention import (
+    AttnDecoderConfig,
+    _init_hidden,
+    _last_h,
+    _linear,
+    attention_net,
+)
 from show_tell_tpu.models.decoder import DecoderConfig
 from show_tell_tpu.models.rnn_cells import init_state, stack_step
 
 NEG_INF = -1e9
+
+
+def _beam_engine(
+    logp0: jax.Array,  # [B, V] log-probs after the first step
+    state1: Any,  # per-image state after the first step (leaves [.., B, ..])
+    step_fn: Callable,  # (tokens [B*K], state_k) -> (logp [B*K, V], state_k')
+    tile_state: Callable,  # state (B rows) -> state (B*K rows)
+    gather_state: Callable,  # (state_k, parent [B, K]) -> state_k reordered
+    K: int,
+    T: int,
+    end_token: int,
+    pad_token: int,
+) -> jax.Array:
+    """Generic batched beam over a first-step distribution + step fn.
+    Returns best-hypothesis token ids [B, T]."""
+    B, V = logp0.shape
+    scores, toks0 = jax.lax.top_k(logp0, K)  # [B, K]
+    state = tile_state(state1)
+    finished = toks0 == end_token
+    tokens0 = toks0.reshape(B * K)
+
+    def body(carry, _):
+        tokens, state, scores, finished = carry
+        logp, state2 = step_fn(tokens, state)
+        logp = logp.reshape(B, K, V)
+
+        # Retired beams: only <pad> continues, at zero cost
+        # (beam_search.py:72-76 end-token retirement semantics).
+        pad_only = jnp.full((V,), NEG_INF).at[pad_token].set(0.0)
+        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+
+        cand = scores[..., None] + logp  # [B, K, V]
+        new_scores, idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+        parent = idx // V  # [B, K]
+        new_tok = idx % V
+
+        state3 = gather_state(state2, parent)
+        new_finished = jnp.take_along_axis(finished, parent, axis=1) | (new_tok == end_token)
+        return (new_tok.reshape(B * K), state3, new_scores, new_finished), (parent, new_tok)
+
+    init = (tokens0, state, scores, finished)
+    (_, _, final_scores, _), (parents, toks) = jax.lax.scan(body, init, None, length=T - 1)
+
+    # Backtrack on device: follow parent pointers from the best final beam.
+    best = jnp.argmax(final_scores, axis=1)  # [B]
+
+    def back(beam, pt):
+        parent_t, tok_t = pt  # [B, K] each
+        tok = jnp.take_along_axis(tok_t, beam[:, None], axis=1)[:, 0]
+        beam = jnp.take_along_axis(parent_t, beam[:, None], axis=1)[:, 0]
+        return beam, tok
+
+    beam_final, toks_seq = jax.lax.scan(back, best, (parents, toks), reverse=True)
+    first = jnp.take_along_axis(toks0, beam_final[:, None], axis=1)  # [B, 1]
+    return jnp.concatenate([first, jnp.swapaxes(toks_seq, 0, 1)], axis=1)  # [B, T]
+
+
+def _rnn_state_helpers(B: int, K: int):
+    def tile(state):
+        return jax.tree.map(lambda s: jnp.repeat(s, K, axis=1), state)
+
+    def gather(state, parent):
+        def g(s):  # s: [L, B*K, H]
+            sk = s.reshape(s.shape[0], B, K, -1)
+            sk = jnp.take_along_axis(sk, parent[None, :, :, None], axis=2)
+            return sk.reshape(s.shape[0], B * K, -1)
+
+        return jax.tree.map(g, state)
+
+    return tile, gather
 
 
 def beam_search_decode(
@@ -33,71 +118,61 @@ def beam_search_decode(
     end_token: int = 2,
     pad_token: int = 0,
 ) -> jax.Array:
-    """Returns best-hypothesis token ids [B, max_caption_length].
-
-    Finished beams (emitted <end>) are retired: they extend only with
-    <pad> at zero cost, so their cumulative score freezes and they keep
-    competing in the top-k (beam_search.py:72-76 semantics).
-    """
-    B, E = cnn_feature.shape
-    K, V, T = beam_size, cfg.vocab_size, cfg.max_caption_length
-    step_fn = stack_step(cfg.cell_type)
+    """Beam over the GRU/LSTM captioner; step 0 consumes the image
+    feature (rnn.py:41).  Returns [B, max_caption_length] ids."""
+    B, _ = cnn_feature.shape
+    K, T = beam_size, cfg.max_caption_length
+    step = stack_step(cfg.cell_type)
 
     def project(top):
         return jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
 
-    # ---- step 0: image feature in, top-K tokens out ----
     state0 = init_state(cfg.cell_type, cfg.num_layers, B, cfg.hidden_dim, cnn_feature.dtype)
-    top, state1 = step_fn(params["rnn"], cnn_feature, state0)
-    logp0 = jax.nn.log_softmax(project(top), axis=-1)  # [B, V]
-    scores, toks0 = jax.lax.top_k(logp0, K)  # [B, K]
+    top, state1 = step(params["rnn"], cnn_feature, state0)
+    logp0 = jax.nn.log_softmax(project(top), axis=-1)
 
-    # Broadcast state across beams: [L, B, H] -> [L, B*K, H].
-    def tile_state(s):
-        return jnp.repeat(s, K, axis=1)
+    def step_fn(tokens, state):
+        x = params["embedding"][tokens]
+        top, state2 = step(params["rnn"], x, state)
+        return jax.nn.log_softmax(project(top), axis=-1), state2
 
-    state = jax.tree.map(tile_state, state1)
-    finished = toks0 == end_token  # [B, K]
-    tokens0 = toks0.reshape(B * K)
+    tile, gather = _rnn_state_helpers(B, K)
+    return _beam_engine(logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token)
 
-    def gather_state(s, parent):  # s: [L, B*K, H], parent: [B, K]
-        sk = s.reshape(s.shape[0], B, K, -1)
-        sk = jnp.take_along_axis(sk, parent[None, :, :, None], axis=2)
-        return sk.reshape(s.shape[0], B * K, -1)
 
-    def body(carry, _):
-        tokens, state, scores, finished = carry
-        x = params["embedding"][tokens]  # [B*K, E]
-        top, state2 = step_fn(params["rnn"], x, state)
-        logp = jax.nn.log_softmax(project(top), axis=-1).reshape(B, K, V)
+def attn_beam_search_decode(
+    params: Dict[str, Any],
+    cfg: AttnDecoderConfig,
+    cnn_feature: jax.Array,  # [B, C, P]
+    beam_size: int,
+    start_token: int = 1,
+    end_token: int = 2,
+    pad_token: int = 0,
+) -> jax.Array:
+    """Beam over the soft-attention decoders (framework extension; the
+    reference decodes attention models greedily only, rnn_attn.py:77-94).
+    Attention context is recomputed per hypothesis each step."""
+    B = cnn_feature.shape[0]
+    K, T = beam_size, cfg.max_caption_length
+    step = stack_step(cfg.cell_type)
+    feats_pm = jnp.swapaxes(cnn_feature, 1, 2)  # [B, P, C]
+    feats_tiled = jnp.repeat(feats_pm, K, axis=0)  # [B*K, P, C]
 
-        # Retired beams: only <pad> continues, at zero cost.
-        pad_only = jnp.full((V,), NEG_INF).at[pad_token].set(0.0)
-        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+    def project(top):
+        return _linear(params["linear"], top)
 
-        cand = scores[..., None] + logp  # [B, K, V]
-        flat = cand.reshape(B, K * V)
-        new_scores, idx = jax.lax.top_k(flat, K)  # [B, K]
-        parent = idx // V  # [B, K]
-        new_tok = idx % V  # [B, K]
+    def one_step(w_emb, feats, state):
+        context, _alpha = attention_net(params["attn"], feats, _last_h(state, cfg.cell_type))
+        x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
+        top, state2 = step(params["rnn"], x, state)
+        return jax.nn.log_softmax(project(top), axis=-1), state2
 
-        state3 = jax.tree.map(lambda s: gather_state(s, parent), state2)
-        new_finished = jnp.take_along_axis(finished, parent, axis=1) | (new_tok == end_token)
-        return (new_tok.reshape(B * K), state3, new_scores, new_finished), (parent, new_tok)
+    state0 = _init_hidden(params, cfg, cnn_feature)
+    w0 = params["embedding"][jnp.full((B,), start_token, jnp.int32)]
+    logp0, state1 = one_step(w0, feats_pm, state0)
 
-    init = (tokens0, state, scores, finished)
-    (_, _, final_scores, _), (parents, toks) = jax.lax.scan(body, init, None, length=T - 1)
+    def step_fn(tokens, state):
+        return one_step(params["embedding"][tokens], feats_tiled, state)
 
-    # ---- backtrack on device: follow parent pointers from the best beam ----
-    best = jnp.argmax(final_scores, axis=1)  # [B]
-
-    def back(carry, pt):
-        beam = carry  # [B]
-        parent_t, tok_t = pt  # [B, K] each
-        tok = jnp.take_along_axis(tok_t, beam[:, None], axis=1)[:, 0]
-        beam = jnp.take_along_axis(parent_t, beam[:, None], axis=1)[:, 0]
-        return beam, tok
-
-    beam_final, rev_toks = jax.lax.scan(back, best, (parents, toks), reverse=True)
-    first = jnp.take_along_axis(toks0, beam_final[:, None], axis=1)  # [B, 1]
-    return jnp.concatenate([first, jnp.swapaxes(rev_toks, 0, 1)], axis=1)  # [B, T]
+    tile, gather = _rnn_state_helpers(B, K)
+    return _beam_engine(logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from show_tell_tpu.data.transforms import preprocess_images
-from show_tell_tpu.decode.beam import beam_search_decode
+from show_tell_tpu.decode.beam import attn_beam_search_decode, beam_search_decode
 from show_tell_tpu.decode.faithful_beam import faithful_beam_decode
 from show_tell_tpu.evaluation.metrics import evaluate
 from show_tell_tpu.models.captioner import (
@@ -67,9 +67,14 @@ def make_test_step(
         images = preprocess_images(images_u8, key, augment=augment, dtype=dtype)
         params = merge_params(trainable, frozen)
         loss, _ = captioner_loss(params, bn_state, cfg, images, captions, lengths, training=False)
-        if beam_size > 0 and not cfg.is_attention:
+        if beam_size > 0:
             feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
-            ids = beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam_size)
+            if cfg.is_attention:  # framework extension: ref is greedy-only here
+                ids = attn_beam_search_decode(
+                    params["decoder"], cfg.decoder_config(), feats, beam_size, cfg.start_token
+                )
+            else:
+                ids = beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam_size)
         elif use_pallas and cfg.cell_type == "gru" and not cfg.is_attention:
             from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
 

@@ -137,3 +137,76 @@ def test_faithful_beam_rejects_lstm():
     cfg, params, feat = setup("lstm")
     with pytest.raises(ValueError):
         faithful_beam_decode(params, cfg, jnp.asarray(feat[:1]), 3)
+
+
+def test_attn_beam_matches_oracle():
+    from show_tell_tpu.decode.beam import attn_beam_search_decode
+    from show_tell_tpu.models.attention import (
+        AttnDecoderConfig,
+        _init_hidden,
+        _last_h,
+        _linear,
+        attention_net,
+        attn_greedy_decode,
+        init_attn_decoder_params,
+    )
+    from show_tell_tpu.models.rnn_cells import stack_step
+
+    C, A, P, K, T = 10, 12, 6, 3, 7
+    acfg = AttnDecoderConfig("gru", E, C, A, H, V, L, max_caption_length=T)
+    params = init_attn_decoder_params(jax.random.PRNGKey(1), acfg)
+    feats = jnp.asarray(np.random.RandomState(2).randn(2, C, P).astype(np.float32))
+    START = 1
+
+    got = np.asarray(attn_beam_search_decode(params, acfg, feats, K, START, END, PAD))
+
+    step = stack_step("gru")
+
+    def one_step(tok, feats_b, st):
+        w = params["embedding"][jnp.asarray([tok])]
+        ctx, _ = attention_net(params["attn"], feats_b, _last_h(st, "gru"))
+        x = jnp.concatenate([w, _linear(params["embed"], ctx)], axis=-1)
+        top, st2 = step(params["rnn"], x, st)
+        logits = np.asarray(_linear(params["linear"], top))[0]
+        logp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+        return logp, st2
+
+    for b in range(feats.shape[0]):
+        fb = feats[b:b + 1]
+        fb_pm = jnp.swapaxes(fb, 1, 2)
+        st0 = _init_hidden(params, acfg, fb)
+        logp, st1 = one_step(START, fb_pm, st0)
+        order = np.argsort(-logp)[:K]
+        hyps = [([int(t)], float(logp[t]), st1, int(t) == END) for t in order]
+        for _ in range(T - 1):
+            cands = []
+            for toks, score, st, fin in hyps:
+                if fin:
+                    cands.append((toks + [PAD], score, st, True))
+                    continue
+                lp, st2 = one_step(toks[-1], fb_pm, st)
+                for t in np.argsort(-lp)[: K + 1]:
+                    cands.append((toks + [int(t)], score + float(lp[t]), st2, int(t) == END))
+            cands.sort(key=lambda c: -c[1])
+            hyps = cands[:K]
+        np.testing.assert_array_equal(got[b], np.asarray(hyps[0][0]))
+
+
+def test_attn_beam1_equals_greedy_prefix():
+    from show_tell_tpu.decode.beam import attn_beam_search_decode
+    from show_tell_tpu.models.attention import (
+        AttnDecoderConfig,
+        attn_greedy_decode,
+        init_attn_decoder_params,
+    )
+
+    C, A, P = 10, 12, 6
+    acfg = AttnDecoderConfig("lstm", E, C, A, H, V, L, max_caption_length=10)
+    params = init_attn_decoder_params(jax.random.PRNGKey(3), acfg)
+    feats = jnp.asarray(np.random.RandomState(4).randn(3, C, P).astype(np.float32))
+    beam = np.asarray(attn_beam_search_decode(params, acfg, feats, 1, 1, END, PAD))
+    greedy = np.asarray(attn_greedy_decode(params, acfg, feats, 1))
+    for b in range(3):
+        ends = np.where(greedy[b] == END)[0]
+        upto = (ends[0] + 1) if len(ends) else acfg.max_caption_length
+        np.testing.assert_array_equal(beam[b, :upto], greedy[b, :upto])
