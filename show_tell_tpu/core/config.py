@@ -161,6 +161,7 @@ def build_arg_parser(
     add("--faithful_beam", type=int, default=0, help="replicate the reference rnn.py beam-search quirks exactly (batch=1) instead of standard cumulative-logprob beam")
     add("--seed", type=int, default=1, help="global RNG seed (reference seeds torch/random with 1)")
     add("--max_caption_length", type=int, default=25, help="decode length cap (reference rnn.py:39)")
+    add("--keep_checkpoints", type=int, default=0, help="retention: keep only the newest N epoch checkpoints (0 = keep all, like the reference); --resume_model_train auto resumes from the newest")
     return p
 
 

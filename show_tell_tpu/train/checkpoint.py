@@ -70,6 +70,36 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def _list_checkpoints(output_dir: str):
+    """[(epoch, path)] for model_<N>.ckpt files, ascending by epoch."""
+    import re
+
+    out = []
+    for name in os.listdir(output_dir):
+        m = re.fullmatch(r"model_(\d+)\.ckpt", name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(output_dir, name)))
+    return sorted(out)
+
+
+def find_latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Newest model_<N>.ckpt, for --resume_model_train auto (the
+    reference's recovery story is manual name-picking, SURVEY.md §5)."""
+    ckpts = _list_checkpoints(output_dir)
+    return ckpts[-1][1] if ckpts else None
+
+
+def prune_checkpoints(output_dir: str, keep_last: int) -> None:
+    """Retention policy (the reference has none): keep the newest
+    ``keep_last`` model_<N>.ckpt files (+ their metrics files)."""
+    if keep_last <= 0:
+        return
+    for epoch, path in _list_checkpoints(output_dir)[:-keep_last]:
+        for p in (path, os.path.join(output_dir, "model_%d_metrics.ckpt" % epoch)):
+            if os.path.isfile(p):
+                os.remove(p)
+
+
 def restore_train_state(train_state, ckpt: Dict[str, Any]):
     """Rebuild a TrainState from a checkpoint (shapes must match)."""
     from show_tell_tpu.train.train_step import TrainState

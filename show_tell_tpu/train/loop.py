@@ -67,8 +67,15 @@ def train(
         ts = TrainState(trainable, frozen, s, optimizer.init(trainable), ts.rng, ts.step)
 
     if params.get("resume_training"):
-        ckpt_path = os.path.join(params["output_dir"], params["resume_model_train"] + ".ckpt")
-        print("Loading the model - %s" % (params["resume_model_train"] + ".ckpt"))
+        if params["resume_model_train"] == "auto":
+            from show_tell_tpu.train.checkpoint import find_latest_checkpoint
+
+            ckpt_path = find_latest_checkpoint(params["output_dir"])
+            if ckpt_path is None:
+                raise FileNotFoundError("no model_<N>.ckpt in %s to auto-resume from" % params["output_dir"])
+        else:
+            ckpt_path = os.path.join(params["output_dir"], params["resume_model_train"] + ".ckpt")
+        print("Loading the model - %s" % os.path.basename(ckpt_path))
         ts = restore_train_state(ts, load_checkpoint(ckpt_path))
         print("Models loaded.")
 
@@ -124,6 +131,10 @@ def train(
         )
         timer.reset()
         create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
+        if params.get("keep_checkpoints", 0):
+            from show_tell_tpu.train.checkpoint import prune_checkpoints
+
+            prune_checkpoints(params["output_dir"], int(params["keep_checkpoints"]))
 
         if eval_every_epochs and (epoch + 1) % eval_every_epochs == 0 and test_data_loader is not None:
             from show_tell_tpu.evaluation.tester import test_model

@@ -141,3 +141,55 @@ def test_loss_analysis_tool(tmp_path):
     assert out.returncode == 0, out.stderr
     assert "GRU_512_lr_0_001" in out.stdout
     assert "epoch   1" in out.stdout
+
+
+def test_checkpoint_retention_and_auto_resume(tmp_path):
+    from show_tell_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        prune_checkpoints,
+    )
+
+    for epoch in range(1, 6):
+        for suffix in (".ckpt", "_metrics.ckpt"):
+            with open(tmp_path / ("model_%d%s" % (epoch, suffix)), "wb") as f:
+                pickle.dump({"epoch": epoch}, f)
+    assert find_latest_checkpoint(str(tmp_path)).endswith("model_5.ckpt")
+    prune_checkpoints(str(tmp_path), keep_last=2)
+    remaining = sorted(p.name for p in tmp_path.iterdir())
+    assert remaining == [
+        "model_4.ckpt", "model_4_metrics.ckpt", "model_5.ckpt", "model_5_metrics.ckpt",
+    ]
+    prune_checkpoints(str(tmp_path), keep_last=0)  # 0 = keep all
+    assert len(list(tmp_path.iterdir())) == 4
+
+
+def test_auto_resume_cli(tmp_path):
+    """--resume_training with --resume_model_train auto trains from the
+    newest checkpoint end-to-end."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import build_mini_coco
+    from show_tell_tpu.cli.run import run
+
+    data_root = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    build_mini_coco(data_root)
+    os.makedirs(out_dir, exist_ok=True)
+    argv = [
+        "--data_dir", data_root, "--output_dir", out_dir,
+        "--train_ann_path", "annotations/captions_train2014.json",
+        "--test_ann_path", "annotations/captions_train2014.json",
+        "--train_img_dir", "train2014", "--test_img_dir", "train2014",
+        "--vocab_threshold", "1", "--embedding_length", "12",
+        "--num_hidden_units", "16", "--num_layers", "1", "--batch_size", "4",
+        "--num_epochs", "1", "--resnet_version", "18", "--optimizer_type", "Adam",
+        "--is_training", "1", "--is_testing", "0",
+    ]
+    run("gru", argv)
+    assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
+    run("gru", argv + ["--resume_training", "1", "--resume_model_train", "auto",
+                       "--keep_checkpoints", "1"])
+    # keep_checkpoints=1 pruned nothing extra here (same epoch count), but
+    # the resume path exercised find_latest_checkpoint end-to-end.
+    assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
