@@ -75,7 +75,7 @@ def make_test_step(
                 )
             else:
                 ids = beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam_size)
-        elif use_pallas and cfg.cell_type == "gru" and not cfg.is_attention:
+        elif use_pallas and not cfg.is_attention:
             from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
 
             feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)

@@ -10,6 +10,13 @@ matmuls per layer fused with the VPU gate math.
 
 Layer 0's input width E may be < H; its weights/inputs are zero-padded to
 H once at preparation time (zeros contribute nothing to the matmul).
+
+Why the vocab projection / argmax / embedding gather stay in XLA: fusing
+the whole 25-step greedy loop into one kernel needs an in-kernel dynamic
+row gather (embedding[argmax]), and this Mosaic version supports neither
+int indexing on refs nor a per-row dynamic-slice loop (compiler ICE).
+Those ops lower well in XLA anyway; the hybrid matches XLA's scan decode
+end-to-end on-chip and the kernel removes the per-layer op overhead.
 """
 
 from __future__ import annotations
@@ -23,9 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def prepare_gru_weights(layers: List[Dict[str, jax.Array]]) -> Dict[str, jax.Array]:
-    """Stack per-layer GRU params into [L, ...] tensors, padding layer 0's
-    input width up to H.  Do this ONCE outside any scan."""
+def prepare_rnn_weights(layers: List[Dict[str, jax.Array]]) -> Dict[str, jax.Array]:
+    """Stack per-layer GRU/LSTM params into [L, ...] tensors, padding
+    layer 0's input width up to H.  Do this ONCE outside any scan."""
     H = layers[0]["w_hh"].shape[0]
     w_ih = []
     for layer in layers:
@@ -34,11 +41,15 @@ def prepare_gru_weights(layers: List[Dict[str, jax.Array]]) -> Dict[str, jax.Arr
             w = jnp.pad(w, ((0, H - w.shape[0]), (0, 0)))
         w_ih.append(w)
     return {
-        "w_ih": jnp.stack(w_ih),  # [L, H, 3H]
-        "w_hh": jnp.stack([l["w_hh"] for l in layers]),  # [L, H, 3H]
-        "b_ih": jnp.stack([l["b_ih"] for l in layers])[:, None, :],  # [L, 1, 3H]
+        "w_ih": jnp.stack(w_ih),  # [L, H, GH]
+        "w_hh": jnp.stack([l["w_hh"] for l in layers]),  # [L, H, GH]
+        "b_ih": jnp.stack([l["b_ih"] for l in layers])[:, None, :],  # [L, 1, GH]
         "b_hh": jnp.stack([l["b_hh"] for l in layers])[:, None, :],
     }
+
+
+# Backwards-compatible alias (original GRU-only name).
+prepare_gru_weights = prepare_rnn_weights
 
 
 def _gru_stack_kernel(x_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref, h_in_ref, h_out_ref, x_buf):
@@ -58,6 +69,78 @@ def _gru_stack_kernel(x_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref, h_in_ref, h
     h2 = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(h_out_ref.dtype)
     h_out_ref[0] = h2
     x_buf[...] = h2
+
+
+def _lstm_stack_kernel(
+    x_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref, h_in_ref, c_in_ref, h_out_ref, c_out_ref, x_buf
+):
+    l = pl.program_id(0)
+
+    @pl.when(l == 0)
+    def _():
+        x_buf[...] = x_ref[...]
+
+    h = h_in_ref[0]  # [B, H]
+    c = c_in_ref[0]
+    H = h.shape[-1]
+    g = (
+        jnp.dot(x_buf[...], w_ih_ref[0], preferred_element_type=jnp.float32)
+        + b_ih_ref[0]
+        + jnp.dot(h, w_hh_ref[0], preferred_element_type=jnp.float32)
+        + b_hh_ref[0]
+    )
+    i = jax.nn.sigmoid(g[:, :H])
+    f = jax.nn.sigmoid(g[:, H : 2 * H])
+    gg = jnp.tanh(g[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(g[:, 3 * H :])
+    c2 = f * c.astype(jnp.float32) + i * gg
+    h2 = (o * jnp.tanh(c2)).astype(h_out_ref.dtype)
+    h_out_ref[0] = h2
+    c_out_ref[0] = c2.astype(c_out_ref.dtype)
+    x_buf[...] = h2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lstm_stack_step_pallas(
+    stacked: Dict[str, jax.Array],
+    x: jax.Array,  # [B, E] with E <= H
+    hs: jax.Array,  # [L, B, H]
+    cs: jax.Array,  # [L, B, H]
+    interpret: bool = False,
+):
+    """Returns (top [B, H], (new_hs, new_cs))."""
+    L, B, H = hs.shape
+    GH = 4 * H
+    E = x.shape[1]
+    assert E <= H, (E, H)
+    if E < H:
+        x = jnp.pad(x, ((0, 0), (0, H - E)))
+    x = x.astype(hs.dtype)
+
+    new_hs, new_cs = pl.pallas_call(
+        _lstm_stack_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, B, H), hs.dtype),
+            jax.ShapeDtypeStruct((L, B, H), cs.dtype),
+        ),
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, H), hs.dtype)],
+        interpret=interpret,
+    )(x, stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"], hs, cs)
+    return new_hs[-1], (new_hs, new_cs)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -101,25 +184,31 @@ def greedy_decode_pallas(
     cnn_feature: jax.Array,  # [B, E]
     interpret: bool = None,
 ) -> jax.Array:
-    """Greedy decode (reference rnn.py:44-58 semantics) with the fused
-    Pallas stack step; vocab projection / argmax / embedding gather stay in
-    XLA (they lower well already)."""
-    assert cfg.cell_type == "gru"
+    """Greedy decode (reference rnn.py:44-58 / rnn_lstm.py:35-55
+    semantics) with the fused Pallas stack step; vocab projection /
+    argmax / embedding gather stay in XLA (they lower well already)."""
     if interpret is None:  # auto: Mosaic needs a TPU; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
     B = cnn_feature.shape[0]
     dtype = params["embedding"].dtype
-    stacked = prepare_gru_weights(params["rnn"])
+    stacked = prepare_rnn_weights(params["rnn"])
     stacked = jax.tree.map(lambda w: w.astype(dtype), stacked)
     hs0 = jnp.zeros((cfg.num_layers, B, cfg.hidden_dim), dtype)
+    if cfg.cell_type == "lstm":
+        state0 = (hs0, jnp.zeros_like(hs0))
+    else:
+        state0 = hs0
 
     def body(carry, _):
-        x, hs = carry
-        top, hs2 = gru_stack_step_pallas(stacked, x, hs, interpret=interpret)
+        x, state = carry
+        if cfg.cell_type == "lstm":
+            top, state2 = lstm_stack_step_pallas(stacked, x, state[0], state[1], interpret=interpret)
+        else:
+            top, state2 = gru_stack_step_pallas(stacked, x, state, interpret=interpret)
         logits = jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
         tok = jnp.argmax(logits, axis=-1)
-        return (params["embedding"][tok], hs2), tok
+        return (params["embedding"][tok], state2), tok
 
     x0 = cnn_feature.astype(dtype)
-    (_, _), toks = jax.lax.scan(body, (x0, hs0), None, length=cfg.max_caption_length)
+    (_, _), toks = jax.lax.scan(body, (x0, state0), None, length=cfg.max_caption_length)
     return jnp.swapaxes(toks, 0, 1)

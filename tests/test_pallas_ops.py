@@ -61,3 +61,31 @@ def test_greedy_decode_pallas_matches_xla():
     ref = np.asarray(greedy_decode(params, cfg, feat))
     got = np.asarray(greedy_decode_pallas(params, cfg, feat, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_lstm_stack_step_pallas_matches_reference_cell():
+    from show_tell_tpu.models.rnn_cells import stack_step_lstm
+    from show_tell_tpu.ops.rnn_pallas import lstm_stack_step_pallas, prepare_rnn_weights
+
+    B, E, H, L, V = 16, 64, 128, 3, 50
+    cfg = DecoderConfig("lstm", E, H, V, L)
+    params = init_decoder_params(jax.random.PRNGKey(7), cfg)
+    stacked = prepare_rnn_weights(params["rnn"])
+    x = jnp.asarray(np.random.RandomState(8).randn(B, E).astype(np.float32))
+    hs = jnp.asarray(np.random.RandomState(9).randn(L, B, H).astype(np.float32))
+    cs = jnp.asarray(np.random.RandomState(10).randn(L, B, H).astype(np.float32))
+
+    ref_top, (ref_hs, ref_cs) = stack_step_lstm(params["rnn"], x, (hs, cs))
+    top, (new_hs, new_cs) = lstm_stack_step_pallas(stacked, x, hs, cs, interpret=True)
+    np.testing.assert_allclose(np.asarray(top), np.asarray(ref_top), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_cs), np.asarray(ref_cs), rtol=1e-5, atol=1e-5)
+
+
+def test_greedy_decode_pallas_lstm_matches_xla():
+    B, E, H, L, V = 16, 64, 128, 2, 50
+    cfg = DecoderConfig("lstm", E, H, V, L, max_caption_length=10)
+    params = init_decoder_params(jax.random.PRNGKey(11), cfg)
+    feat = jnp.asarray(np.random.RandomState(12).randn(B, E).astype(np.float32))
+    ref = np.asarray(greedy_decode(params, cfg, feat))
+    got = np.asarray(greedy_decode_pallas(params, cfg, feat, interpret=True))
+    np.testing.assert_array_equal(got, ref)
