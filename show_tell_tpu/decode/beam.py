@@ -32,7 +32,7 @@ from show_tell_tpu.models.attention import (
     _init_hidden,
     _last_h,
     _linear,
-    attention_net,
+    attention_net_hoisted,
 )
 from show_tell_tpu.models.decoder import DecoderConfig
 from show_tell_tpu.models.rnn_cells import init_state, stack_step
@@ -156,23 +156,25 @@ def attn_beam_search_decode(
     K, T = beam_size, cfg.max_caption_length
     step = stack_step(cfg.cell_type)
     feats_pm = jnp.swapaxes(cnn_feature, 1, 2)  # [B, P, C]
+    att1 = _linear(params["attn"]["encoder_att"], feats_pm)  # hoisted, constant over steps
     feats_tiled = jnp.repeat(feats_pm, K, axis=0)  # [B*K, P, C]
+    att1_tiled = jnp.repeat(att1, K, axis=0)
 
     def project(top):
         return _linear(params["linear"], top)
 
-    def one_step(w_emb, feats, state):
-        context, _alpha = attention_net(params["attn"], feats, _last_h(state, cfg.cell_type))
+    def one_step(w_emb, feats, a1, state):
+        context, _alpha = attention_net_hoisted(params["attn"], feats, a1, _last_h(state, cfg.cell_type))
         x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
         top, state2 = step(params["rnn"], x, state)
         return jax.nn.log_softmax(project(top), axis=-1), state2
 
     state0 = _init_hidden(params, cfg, cnn_feature)
     w0 = params["embedding"][jnp.full((B,), start_token, jnp.int32)]
-    logp0, state1 = one_step(w0, feats_pm, state0)
+    logp0, state1 = one_step(w0, feats_pm, att1, state0)
 
     def step_fn(tokens, state):
-        return one_step(params["embedding"][tokens], feats_tiled, state)
+        return one_step(params["embedding"][tokens], feats_tiled, att1_tiled, state)
 
     tile, gather = _rnn_state_helpers(B, K)
     return _beam_engine(logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token)

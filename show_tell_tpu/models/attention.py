@@ -81,6 +81,19 @@ def attention_net(attn_params: Dict[str, Any], img_feat: jax.Array, hidden: jax.
     """img_feat: [B, P, C] (positions-major, i.e. cnn_feature.transpose(1,2)),
     hidden: [B, H].  Returns (context [B, C], alpha [B, P])."""
     att1 = _linear(attn_params["encoder_att"], img_feat)  # [B, P, A]
+    return attention_net_hoisted(attn_params, img_feat, att1, hidden)
+
+
+def attention_net_hoisted(
+    attn_params: Dict[str, Any], img_feat: jax.Array, att1: jax.Array, hidden: jax.Array
+):
+    """Attention with the encoder-side projection ``att1`` precomputed.
+
+    att1 is constant across decode/teacher-forcing steps for a given
+    image; the reference recomputes it every step (rnn_attn.py:23,69).
+    Hoisting it out of the time loop removes the largest matmul in the
+    step ([B,P,C]x[C,A]) with bit-identical results.
+    """
     att2 = _linear(attn_params["decoder_att"], hidden)  # [B, A]
     act = jax.nn.leaky_relu(att1 + att2[:, None, :], negative_slope=0.2)
     e = _linear(attn_params["full_att"], act)[..., 0]  # [B, P]
@@ -124,6 +137,7 @@ def attn_decoder_forward(
     """
     B, T = captions.shape
     feats_pm = jnp.swapaxes(cnn_feature, 1, 2)  # [B, P, C] positions-major
+    att1 = _linear(params["attn"]["encoder_att"], feats_pm)  # hoisted: constant over t
     emb = params["embedding"][captions]  # [B, T, E]
     state0 = _init_hidden(params, cfg, cnn_feature)
     step_fn = stack_step(cfg.cell_type)
@@ -131,7 +145,7 @@ def attn_decoder_forward(
     def body(carry, xt):
         t, st = carry
         w_emb = xt  # [B, E]
-        context, alpha = attention_net(params["attn"], feats_pm, _last_h(st, cfg.cell_type))
+        context, alpha = attention_net_hoisted(params["attn"], feats_pm, att1, _last_h(st, cfg.cell_type))
         x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
         top, st2 = step_fn(params["rnn"], x, st)
         logits = _linear(params["linear"], top)
@@ -154,13 +168,14 @@ def attn_greedy_decode(
     """25-step greedy decode from <start> (rnn_attn.py:77-94,120-145)."""
     B = cnn_feature.shape[0]
     feats_pm = jnp.swapaxes(cnn_feature, 1, 2)
+    att1 = _linear(params["attn"]["encoder_att"], feats_pm)  # hoisted: constant over t
     state0 = _init_hidden(params, cfg, cnn_feature)
     w0 = params["embedding"][jnp.full((B,), start_token, jnp.int32)]
     step_fn = stack_step(cfg.cell_type)
 
     def body(carry, _):
         w_emb, st = carry
-        context, _alpha = attention_net(params["attn"], feats_pm, _last_h(st, cfg.cell_type))
+        context, _alpha = attention_net_hoisted(params["attn"], feats_pm, att1, _last_h(st, cfg.cell_type))
         x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
         top, st2 = step_fn(params["rnn"], x, st)
         logits = _linear(params["linear"], top)

@@ -1,0 +1,95 @@
+"""Pallas TPU kernel: fused soft-attention context computation.
+
+One kernel fuses the per-step attention math of the reference
+Attention_Net (Attention/rnn_attn.py:21-31) — decoder-side projection,
+additive scores, LeakyReLU, softmax over spatial positions, and the
+alpha-weighted feature sum — into a single VMEM pass per batch block:
+
+    att2  = h @ W_dec + b_dec                     (MXU)
+    e     = LeakyReLU(att1 + att2[:,None,:]) . w_full + b_full
+    alpha = softmax_P(e)
+    ctx   = sum_p alpha[:,p] * feats[:,p,:]
+
+``att1 = feats @ W_enc + b_enc`` is *hoisted out*: it is constant across
+decode steps for a given image, so callers precompute it once per batch
+(the reference recomputes it every step, rnn_attn.py:23 — an algorithmic
+win on top of the fusion).  The weighted reductions are written as
+multiply+reduce (VPU) rather than batched matmuls, which Mosaic lowers
+poorly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(feats_ref, att1_ref, h_ref, wdec_ref, bdec_ref, wfull_ref, ctx_ref, alpha_ref):
+    h = h_ref[...]  # [Bb, H]
+    att2 = jnp.dot(h, wdec_ref[...], preferred_element_type=jnp.float32) + bdec_ref[...]
+    act = jax.nn.leaky_relu(att1_ref[...].astype(jnp.float32) + att2[:, None, :], negative_slope=0.2)
+    # e[b,p] = sum_a act[b,p,a] * w_full[a]  (+ b_full folded into wfull row 0 bias slot by caller)
+    e = jnp.sum(act * wfull_ref[...][None, None, :], axis=-1)  # [Bb, P]
+    alpha = jax.nn.softmax(e, axis=1)
+    ctx = jnp.sum(feats_ref[...].astype(jnp.float32) * alpha[..., None], axis=1)  # [Bb, C]
+    ctx_ref[...] = ctx.astype(ctx_ref.dtype)
+    alpha_ref[...] = alpha.astype(alpha_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def attention_context_pallas(
+    attn_params: Dict[str, jax.Array],
+    feats_pm: jax.Array,  # [B, P, C] positions-major features
+    att1: jax.Array,  # [B, P, A] precomputed encoder projection (+ b_enc)
+    hidden: jax.Array,  # [B, H]
+    block_b: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (context [B, C], alpha [B, P]).
+
+    Softmax is invariant to the constant b_full, so it is dropped; the
+    per-position scores therefore differ from the reference by a constant
+    that cancels in alpha.
+    """
+    B, P, C = feats_pm.shape
+    A = att1.shape[-1]
+    H = hidden.shape[-1]
+    if B % block_b != 0:
+        block_b = 1
+    wfull = attn_params["full_att"]["w"][:, 0]  # [A]
+
+    ctx, alpha = pl.pallas_call(
+        _kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C), feats_pm.dtype),
+            jax.ShapeDtypeStruct((B, P), jnp.float32),
+        ),
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, P, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, P, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(feats_pm, att1, hidden, attn_params["decoder_att"]["w"], attn_params["decoder_att"]["b"], wfull)
+    return ctx, alpha
+
+
+def precompute_att1(attn_params: Dict[str, jax.Array], feats_pm: jax.Array) -> jax.Array:
+    """Encoder-side projection, constant across decode steps: [B, P, A]."""
+    return (
+        jnp.dot(feats_pm, attn_params["encoder_att"]["w"], preferred_element_type=jnp.float32)
+        + attn_params["encoder_att"]["b"]
+    )

@@ -89,3 +89,25 @@ def test_greedy_decode_pallas_lstm_matches_xla():
     ref = np.asarray(greedy_decode(params, cfg, feat))
     got = np.asarray(greedy_decode_pallas(params, cfg, feat, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_attention_context_pallas_matches_reference():
+    from show_tell_tpu.models.attention import (
+        AttnDecoderConfig,
+        attention_net,
+        init_attn_decoder_params,
+    )
+    from show_tell_tpu.ops.attention_pallas import attention_context_pallas, precompute_att1
+
+    B, P, C, A, H = 8, 49, 256, 128, 128
+    acfg = AttnDecoderConfig("gru", 32, C, A, H, 50, 2)
+    params = init_attn_decoder_params(jax.random.PRNGKey(0), acfg)
+    rng = np.random.RandomState(0)
+    feats_pm = jnp.asarray(rng.randn(B, P, C).astype(np.float32))
+    hidden = jnp.asarray(rng.randn(B, H).astype(np.float32))
+
+    ref_ctx, ref_alpha = attention_net(params["attn"], feats_pm, hidden)
+    att1 = precompute_att1(params["attn"], feats_pm)
+    ctx, alpha = attention_context_pallas(params["attn"], feats_pm, att1, hidden, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha), rtol=2e-5, atol=2e-5)
