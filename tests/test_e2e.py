@@ -118,3 +118,18 @@ def test_pallas_and_bf16_test_phase(trained):
         ),
     )
     assert np.isfinite(res["scores"]["Bleu_1"])
+
+
+@pytest.mark.parametrize("variant", ["lstm", "attn", "attn_lstm"])
+def test_other_variants_train_and_test(tmp_path, variant):
+    data_root = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    build_mini_coco(data_root)
+    os.makedirs(out_dir, exist_ok=True)
+    extra = ["--is_training", "1", "--is_testing", "1", "--load_model_test", "model_1"]
+    if variant.startswith("attn"):
+        extra += ["--nos_cnn_filters", "512", "--attn_dim", "16", "--alpha_c", "0.01"]
+    res = run(variant, _argv(data_root, out_dir, extra))
+    scores = res["scores"]
+    assert np.isfinite(scores["Bleu_1"]) and np.isfinite(scores["test_loss"])
+    assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
