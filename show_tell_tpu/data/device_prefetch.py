@@ -1,0 +1,43 @@
+"""Device-side batch prefetching: overlap H2D transfer with compute.
+
+Wraps a host batch iterator so the NEXT batch's arrays are already on
+device (optionally sharded over the dp mesh) while the current step
+computes — double-buffered H2D, the jax equivalent of the reference's
+DataLoader worker pipelining (utils.py:93) extended across the PCIe
+boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional, Tuple
+
+import jax
+
+
+def device_prefetch(
+    batches: Iterable,
+    mesh=None,
+    put_indices: Tuple[int, ...] = (1, 2, 3),
+) -> Iterator:
+    """Yields batches with elements at ``put_indices`` placed on device
+    one step ahead.  Non-array elements (e.g. path tuples) pass through."""
+    from show_tell_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(batch):
+        out = list(batch)
+        for i in put_indices:
+            out[i] = jax.device_put(out[i], sharding) if sharding is not None else jax.device_put(out[i])
+        return tuple(out)
+
+    it = iter(batches)
+    try:
+        pending = put(next(it))
+    except StopIteration:
+        return
+    for nxt in it:
+        nxt_dev = put(nxt)  # enqueue next H2D before yielding current
+        yield pending
+        pending = nxt_dev
+    yield pending

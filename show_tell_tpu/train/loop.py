@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 from show_tell_tpu.models.captioner import CaptionerConfig
-from show_tell_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from show_tell_tpu.parallel.mesh import make_mesh, replicate
 from show_tell_tpu.train.checkpoint import create_checkpoint, load_checkpoint, restore_train_state
 from show_tell_tpu.train.optim import make_optimizer
 from show_tell_tpu.train.train_step import create_train_state, make_train_step
@@ -99,7 +99,11 @@ def train(
     for epoch in range(params["num_epochs"]):
         print("Epoch %d started." % (epoch + 1))
         train_loss = []
-        loader_iter = iter(train_data_loader)
+        # Batches are device_put (sharded over dp when meshed) one step
+        # ahead, overlapping H2D transfer with the previous step's compute.
+        from show_tell_tpu.data.device_prefetch import device_prefetch
+
+        loader_iter = device_prefetch(train_data_loader, mesh=mesh)
         while True:
             with timer.stage("data"):
                 batch = next(loader_iter, None)
@@ -108,8 +112,6 @@ def train(
             idx = len(train_loss)
             _, images, captions, lengths = batch
             with timer.stage("step"):
-                if mesh is not None:
-                    images, captions, lengths = shard_batch(mesh, images, captions, lengths)
                 ts, loss = step(ts, images, captions, lengths)
                 loss = float(loss)  # device sync: keeps timings honest
             train_loss.append(loss)
