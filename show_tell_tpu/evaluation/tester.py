@@ -121,6 +121,9 @@ def test_model(
     step_fn = make_test_step(
         cfg,
         0 if faithful_beam else beam_size,
+        # The reference augments (random flips) at test time (utils.py:96);
+        # --eval_augment 0 pins eval deterministic (SURVEY.md §7).
+        augment=bool(params.get("eval_augment", 1)),
         use_pallas=bool(params.get("use_pallas")),
         compute_dtype=(jnp.bfloat16 if params.get("compute_dtype") == "bfloat16" else None),
     )

@@ -133,3 +133,15 @@ def test_other_variants_train_and_test(tmp_path, variant):
     scores = res["scores"]
     assert np.isfinite(scores["Bleu_1"]) and np.isfinite(scores["test_loss"])
     assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
+
+
+def test_eval_augment_disabled_is_deterministic(trained):
+    data_root, out_dir, _ = trained
+    args = _argv(
+        data_root, out_dir,
+        ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1",
+         "--eval_augment", "0"],
+    )
+    s1 = run("gru", args)["scores"]
+    s2 = run("gru", args)["scores"]
+    assert s1 == s2

@@ -123,3 +123,57 @@ def test_fallback_matches_treebank_on_single_sentence():
 def test_sent_split():
     assert _sent_split("a man. a dog.") == ["a man.", "a dog."]
     assert _sent_split("mr. smith waves.") == ["mr. smith waves."]
+
+
+def test_flickr_vocabulary(tmp_path):
+    """Flickr TSV path (reference vocab_builder.py:82-88)."""
+    ann_dir = tmp_path / "data" / "annotations"
+    ann_dir.mkdir(parents=True)
+    rows = [
+        ("1.jpg", "A man rides a wave."),
+        ("2.jpg", "a man and a dog play"),
+        ("3.jpg", "the dog runs on grass"),
+    ]
+    with open(ann_dir / "captions.tsv", "w") as f:
+        for img, cap in rows:
+            f.write("%s\t%s\n" % (img, cap))
+    params = {
+        "data_dir": str(tmp_path / "data"),
+        "train_ann_path": "annotations/captions.tsv",
+        "vocab_path": str(tmp_path / "vocab.pkl"),
+        "vocab_threshold": 1,
+    }
+    vocab = get_vocabulary("Flickr", params)
+    assert vocab("man") > 3 and vocab("dog") > 3
+    assert vocab.word_to_index["<pad>"] == 0
+
+
+def test_invalid_dataset_raises(tmp_path):
+    params = {
+        "data_dir": str(tmp_path),
+        "train_ann_path": "x.json",
+        "vocab_path": str(tmp_path / "vocab.pkl"),
+        "vocab_threshold": 1,
+    }
+    with pytest.raises(ValueError):
+        get_vocabulary("ImageNet", params)
+
+
+def test_tokenizer_fallback_path(monkeypatch):
+    """Force the punkt-free fallback and check it matches the nltk path
+    on caption-like text."""
+    import show_tell_tpu.vocab.tokenize as tok
+
+    sentences = [
+        "a man riding a wave on top of a surfboard.",
+        "two dogs play. one dog rests.",
+        "don't stop; it's 3.5-ft tall...",
+    ]
+    expected = [tok.word_tokenize(s) for s in sentences]  # current (nltk or fallback)
+    monkeypatch.setattr(tok, "_NLTK_WORD_TOKENIZE", False)
+    got = [tok.word_tokenize(s) for s in sentences]
+    # Single-sentence captions must agree exactly; the multi-sentence one
+    # may differ only in sentence-final period splitting.
+    assert got[0] == expected[0]
+    assert got[2] == expected[2]
+    assert [t for t in got[1] if t not in {"."}] == [t for t in expected[1] if t not in {"."}]
