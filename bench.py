@@ -67,7 +67,7 @@ def bench_train(batch: int = 128):
     )
 
 
-def main():
+def main(variant: str = "gru", batch_default: int = 512):
     import jax
     import jax.numpy as jnp
 
@@ -79,9 +79,9 @@ def main():
     )
 
     cfg = CaptionerConfig(
-        variant="gru",
+        variant=variant,
         resnet_version=101,
-        embed_dim=256,
+        embed_dim=256 if variant == "gru" else 512,
         hidden_dim=512,
         vocab_size=9956,
         num_layers=5,
@@ -99,7 +99,8 @@ def main():
         images = preprocess_images(images_u8, key, augment=False, dtype=compute_dtype)
         return captioner_greedy_decode(params, state, cfg, images)
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    batch_args = [a for a in sys.argv[1:] if a.isdigit()]
+    batch = int(batch_args[0]) if batch_args else batch_default
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
     key = jax.random.PRNGKey(0)
@@ -120,10 +121,13 @@ def main():
     dt = sorted(times)[len(times) // 2]  # median rep
 
     cps = batch * iters / dt
+    metric = "captions_per_sec_per_chip_greedy"
+    if variant != "gru":
+        metric += "_" + variant
     print(
         json.dumps(
             {
-                "metric": "captions_per_sec_per_chip_greedy",
+                "metric": metric,
                 "value": round(cps, 2),
                 "unit": "captions/s/chip",
                 "vs_baseline": round(cps / 1250.0, 3),
@@ -136,5 +140,8 @@ if __name__ == "__main__":
     if "--train" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--train"]
         bench_train(int(args[0]) if args else 128)
+    elif "--attn" in sys.argv:
+        # Soft-attention GRU serving throughput (main_attn.py flagship).
+        main(variant="attn", batch_default=256)
     else:
         main()
