@@ -25,8 +25,9 @@ def bench_train(batch: int = 128):
     """Secondary mode (`python bench.py --train [B]`): full train-step
     throughput in f32 (parity dtype).  Reference baseline: ~402 samples/s
     on an RTX 2080 (28.6h for 100 epochs x 414k samples, BASELINE.md).
-    Note: B>=192 currently hits an XLA memory/algorithm cliff (10x+ slower
-    per sample than B<=160) — B=128-160 is the sweet spot on one v5e chip."""
+    Note: measure in a FRESH process (same-process sequential jit programs
+    skew axon timings badly); B=256 hits a real ~7x XLA cliff, B=128-192
+    is the sweet spot on one v5e chip (8.4k samples/s at B=128)."""
     import jax
 
     from show_tell_tpu.models.captioner import CaptionerConfig
