@@ -1,0 +1,59 @@
+"""Space-to-depth ResNet stem (serving-time transform).
+
+The stock stem convolves [B,224,224,3] with a 7x7/s2 kernel — C_in=3
+wastes the 128-lane MXU.  The standard TPU fix (MLPerf ResNet): move a
+2x2 spatial block into channels (NHWC [B,112,112,12]) and convolve with
+an equivalently rearranged 4x4/s1 kernel; the result equals conv1's
+output exactly (same taps, regrouped).
+
+Derivation: output o[p,q] of conv1 (stride 2, pad 3) reads input rows
+2p-3..2p+3.  In s2d coordinates (i = row//2, di = row%2) that window is
+i in [p-2, p+1] — a 4-tap window at stride 1 with (2,1) asymmetric
+padding; kernel entry w'[a, b, (di,dj,c)] = w[2a+di-1, 2b+dj-1, c]
+(out-of-range taps are the zero padding of the 7->8 kernel extension).
+
+MEASURED (v5e, B=512 bf16): 7.56ms vs 6.90ms stock — this XLA version
+already handles the C_in=3 conv well and the on-device relayout costs
+more than it saves, so the transform is provided but NOT wired into the
+default path.  It pays off only when the input pipeline emits
+s2d-layout tensors directly (no device-side transpose).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def transform_conv1_weight(w7: jax.Array) -> jax.Array:
+    """[7,7,3,Cout] HWIO stride-2 kernel -> [4,4,12,Cout] s2d kernel."""
+    H, W, C, O = w7.shape
+    assert (H, W) == (7, 7), (H, W)
+    # Pad to 8x8 with a leading zero row/col: index -1 -> 0.
+    w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    # w8[2a+di, 2b+dj, c, o] -> w4[a, b, di*2*C + dj*C + c, o]
+    w4 = w8.reshape(4, 2, 4, 2, C, O)  # [a, di, b, dj, c, o]
+    w4 = jnp.transpose(w4, (0, 2, 1, 3, 4, 5)).reshape(4, 4, 4 * C, O)
+    return w4
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """NHWC [B,H,W,C] -> [B,H/2,W/2,4C] with (di,dj,c) channel order."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def stem_s2d(x: jax.Array, w4: jax.Array) -> jax.Array:
+    """== lax.conv(x, w7, stride 2, pad 3) for w4 = transform(w7)."""
+    xs = space_to_depth(x)
+    return jax.lax.conv_general_dilated(
+        xs,
+        w4,
+        window_strides=(1, 1),
+        padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )

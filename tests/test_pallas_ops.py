@@ -111,3 +111,16 @@ def test_attention_context_pallas_matches_reference():
     ctx, alpha = attention_context_pallas(params["attn"], feats_pm, att1, hidden, block_b=4, interpret=True)
     np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha), rtol=2e-5, atol=2e-5)
+
+
+def test_s2d_stem_matches_conv1():
+    from show_tell_tpu.ops.s2d_stem import stem_s2d, transform_conv1_weight
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    w7 = jnp.asarray(rng.randn(7, 7, 3, 16).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w7, (2, 2), ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = stem_s2d(x, transform_conv1_weight(w7))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
