@@ -25,9 +25,10 @@ def bench_train(batch: int = 128):
     """Secondary mode (`python bench.py --train [B]`): full train-step
     throughput in f32 (parity dtype).  Reference baseline: ~402 samples/s
     on an RTX 2080 (28.6h for 100 epochs x 414k samples, BASELINE.md).
-    Note: measure in a FRESH process (same-process sequential jit programs
-    skew axon timings badly); B=256 hits a real ~7x XLA cliff, B=128-192
-    is the sweet spot on one v5e chip (8.4k samples/s at B=128)."""
+    Note: measure in a FRESH process, and expect run-to-run variance on
+    this shared TPU pool (B=256 measured anywhere from 31 to 730 ms/step
+    across identical work).  B=128-192 measures consistently fast
+    (~8k samples/s); prefer it per chip and scale batch via dp."""
     import jax
 
     from show_tell_tpu.models.captioner import CaptionerConfig
@@ -137,10 +138,59 @@ def main(variant: str = "gru", batch_default: int = 512):
     )
 
 
+def bench_latency(batch: int = 8):
+    """`python bench.py --latency [B]`: p50 per-image serving latency at a
+    small batch (north-star secondary metric, BASELINE.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_greedy_decode, init_captioner
+
+    cfg = CaptionerConfig(
+        variant="gru", resnet_version=101, embed_dim=256, hidden_dim=512, vocab_size=9956, num_layers=5
+    )
+    params, state = init_captioner(jax.random.PRNGKey(0), cfg)
+    bf = jnp.bfloat16
+    params = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
+    state = jax.tree.map(lambda x: x.astype(bf), state)
+
+    @jax.jit
+    def serve(images_u8, key):
+        return captioner_greedy_decode(
+            params, state, cfg, preprocess_images(images_u8, key, augment=False, dtype=bf)
+        )
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(0)
+    for i in range(15):
+        serve(images, jax.random.fold_in(key, i)).block_until_ready()
+    lats = []
+    for i in range(30):
+        t0 = time.perf_counter()
+        serve(images, jax.random.fold_in(key, 100 + i)).block_until_ready()
+        lats.append(time.perf_counter() - t0)
+    p50 = sorted(lats)[len(lats) // 2]
+    print(
+        json.dumps(
+            {
+                "metric": "p50_batch%d_serve_latency_ms" % batch,
+                "value": round(p50 * 1e3, 2),
+                "unit": "ms",
+                "vs_baseline": round((p50 / batch) * 1e3, 3),  # ms per image
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--train" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--train"]
+        args = [a for a in sys.argv[1:] if a not in ("--train",)]
         bench_train(int(args[0]) if args else 128)
+    elif "--latency" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--latency"]
+        bench_latency(int(args[0]) if args else 8)
     elif "--attn" in sys.argv:
         # Soft-attention GRU serving throughput (main_attn.py flagship).
         main(variant="attn", batch_default=256)
