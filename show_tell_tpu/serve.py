@@ -41,7 +41,11 @@ class Captioner:
         cfg: CaptionerConfig,
         vocab,
         compute_dtype: str = "bfloat16",
+        dp: int = 1,
     ):
+        """dp > 1 shards serving batches over a dp-device mesh (params
+        replicated; the batch axis splits, XLA runs each shard's decode
+        on its chip — the v5e-8 serving scale-out path)."""
         self.cfg = cfg
         self.vocab = vocab
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
@@ -49,6 +53,13 @@ class Captioner:
         cast = lambda t: jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
         self.params = cast(params)
         self.bn_state = cast(bn_state)
+        self.mesh = None
+        if dp > 1:
+            from show_tell_tpu.parallel.mesh import make_mesh, replicate
+
+            self.mesh = make_mesh(dp=dp)
+            self.params = replicate(self.mesh, self.params)
+            self.bn_state = replicate(self.mesh, self.bn_state)
         self._jitted: Dict[int, Any] = {}
 
     # ------------------------------------------------------------ loading
@@ -134,7 +145,13 @@ class Captioner:
 
     def caption_ids(self, images_u8: np.ndarray, beam_size: int = 0) -> np.ndarray:
         """uint8 [B,224,224,3] -> token ids [B, max_caption_length]."""
-        return np.asarray(self._decode_fn(beam_size)(jnp.asarray(images_u8)))
+        if self.mesh is not None:
+            from show_tell_tpu.parallel.mesh import shard_batch
+
+            images = shard_batch(self.mesh, np.asarray(images_u8))
+        else:
+            images = jnp.asarray(images_u8)
+        return np.asarray(self._decode_fn(beam_size)(images))
 
     def caption(self, images_u8: np.ndarray, beam_size: int = 0) -> List[str]:
         """uint8 [B,224,224,3] -> caption strings (<end>-truncated)."""

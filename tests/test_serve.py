@@ -90,3 +90,25 @@ def test_device_prefetch():
         assert isinstance(b[1], jax.Array)
         assert int(np.asarray(b[1])[0, 0, 0, 0]) == i
     assert list(device_prefetch([])) == []
+
+
+def test_captioner_dp_serving_matches_single_device(trained):
+    """dp=8 sharded serving must produce the same captions."""
+    data_root, out_dir = trained
+    assert len(jax.devices()) >= 8
+    kw = dict(
+        variant="gru", resnet_version=18, embed_dim=16, hidden_dim=24,
+        num_layers=1, compute_dtype="float32",
+    )
+    ckpt = os.path.join(out_dir, "model_1.ckpt")
+    vocab = os.path.join(out_dir, "vocab.pkl")
+    single = Captioner.from_checkpoint(ckpt, vocab, **kw)
+    images = np.random.RandomState(1).randint(0, 255, (8, 224, 224, 3), dtype=np.uint8)
+    ref = single.caption(images)
+
+    dp_cap = Captioner(
+        {"encoder": single.params["encoder"], "decoder": single.params["decoder"]},
+        single.bn_state, single.cfg, single.vocab, compute_dtype="float32", dp=8,
+    )
+    got = dp_cap.caption(images)
+    assert got == ref
