@@ -131,6 +131,29 @@ def stack_step(cell_type: str):
     return stack_step_gru if cell_type == "gru" else stack_step_lstm
 
 
+def _gru_cell_pre(layer, gx, h):
+    """GRU step with the x-side affine ``gx`` precomputed."""
+    H = h.shape[-1]
+    gh = jnp.dot(h, layer["w_hh"], preferred_element_type=jnp.float32) + layer["b_hh"]
+    r = jax.nn.sigmoid(gx[..., :H] + gh[..., :H])
+    z = jax.nn.sigmoid(gx[..., H : 2 * H] + gh[..., H : 2 * H])
+    n = jnp.tanh(gx[..., 2 * H :] + r * gh[..., 2 * H :])
+    return ((1.0 - z) * n + z * h).astype(h.dtype)
+
+
+def _lstm_cell_pre(layer, gx, hc):
+    h, c = hc
+    H = h.shape[-1]
+    g = gx + jnp.dot(h, layer["w_hh"], preferred_element_type=jnp.float32) + layer["b_hh"]
+    i = jax.nn.sigmoid(g[..., :H])
+    f = jax.nn.sigmoid(g[..., H : 2 * H])
+    gg = jnp.tanh(g[..., 2 * H : 3 * H])
+    o = jax.nn.sigmoid(g[..., 3 * H :])
+    c2 = f * c + i * gg
+    h2 = o * jnp.tanh(c2)
+    return h2.astype(h.dtype), c2.astype(c.dtype)
+
+
 def rnn_scan(
     layers: List[Dict[str, jax.Array]],
     cell_type: str,
@@ -140,21 +163,47 @@ def rnn_scan(
 ):
     """Run the stack over time. inputs: [B, T, in] -> outputs [B, T, H].
 
+    Layer-major (cuDNN-style, done the XLA way): per layer, the input-side
+    gate affine for ALL timesteps is one big MXU matmul hoisted out of the
+    scan ([B*T, in] x [in, gates*H]); only the sequential hidden-side
+    matmul + gate math lives in the time loop.  Identical math to the
+    step-major form — layer l at time t depends only on layer l-1's
+    output at time t.
+
     When ``lengths`` is given, state updates freeze for finished sequences
     (mask semantics equivalent to torch's shrinking packed batches /
     reference Attention rnn_attn.py:68-74); outputs at t >= length are
     whatever the frozen cell produced and must be masked by the caller.
     """
-    step_fn = stack_step(cell_type)
-    xs = jnp.swapaxes(inputs, 0, 1)  # [T, B, in]
+    is_gru = cell_type == "gru"
+    cell_pre = _gru_cell_pre if is_gru else _lstm_cell_pre
+    alive_seq = None
+    if lengths is not None:
+        T = inputs.shape[1]
+        alive_seq = (jnp.arange(T)[:, None] < lengths[None, :])[..., None]  # [T, B, 1]
 
-    def body(carry, xt):
-        t, st = carry
-        top, new_st = step_fn(layers, xt, st)
-        if lengths is not None:
-            alive = (t < lengths)[None, :, None]  # [1, B, 1]
-            new_st = jax.tree.map(lambda n, o: jnp.where(alive, n, o), new_st, st)
-        return (t + 1, new_st), top
+    seq = inputs  # [B, T, in]
+    finals = []
+    for l, layer in enumerate(layers):
+        gx_all = jnp.dot(seq, layer["w_ih"], preferred_element_type=jnp.float32) + layer["b_ih"]
+        gx_all = jnp.swapaxes(gx_all, 0, 1)  # [T, B, GH]
+        st0 = state[l] if is_gru else (state[0][l], state[1][l])
 
-    (_, final_state), outs = jax.lax.scan(body, (jnp.int32(0), state), xs)
-    return jnp.swapaxes(outs, 0, 1), final_state
+        def body(st, xt):
+            gx, alive = xt if alive_seq is not None else (xt, None)
+            new_st = cell_pre(layer, gx, st)
+            if alive is not None:
+                new_st = jax.tree.map(lambda n, o: jnp.where(alive, n, o), new_st, st)
+            top = new_st if is_gru else new_st[0]
+            return new_st, top
+
+        xs = (gx_all, alive_seq) if alive_seq is not None else gx_all
+        final, outs = jax.lax.scan(body, st0, xs)
+        finals.append(final)
+        seq = jnp.swapaxes(outs, 0, 1)  # [B, T, H] feeds the next layer
+
+    if is_gru:
+        final_state = jnp.stack(finals, 0)
+    else:
+        final_state = (jnp.stack([f[0] for f in finals], 0), jnp.stack([f[1] for f in finals], 0))
+    return seq, final_state
