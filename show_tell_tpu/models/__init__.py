@@ -1,1 +1,10 @@
-from show_tell_tpu.models import rnn_cells, decoder, resnet, encoder, attention, convert  # noqa: F401
+from show_tell_tpu.models import (  # noqa: F401
+    attention,
+    captioner,
+    convert,
+    decoder,
+    encoder,
+    resnet,
+    rnn_cells,
+    serving,
+)
