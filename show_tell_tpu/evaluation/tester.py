@@ -75,11 +75,18 @@ def make_test_step(
                 )
             else:
                 ids = beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam_size)
-        elif use_pallas and not cfg.is_attention:
-            from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
-
+        elif use_pallas:
             feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
-            ids = greedy_decode_pallas(params["decoder"], cfg.decoder_config(), feats)
+            if cfg.is_attention:
+                from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
+
+                ids = attn_greedy_decode_pallas(
+                    params["decoder"], cfg.decoder_config(), feats, cfg.start_token
+                )
+            else:
+                from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
+
+                ids = greedy_decode_pallas(params["decoder"], cfg.decoder_config(), feats)
         else:
             ids = captioner_greedy_decode(params, bn_state, cfg, images)
         return loss, ids

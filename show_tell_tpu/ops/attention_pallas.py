@@ -93,3 +93,41 @@ def precompute_att1(attn_params: Dict[str, jax.Array], feats_pm: jax.Array) -> j
         jnp.dot(feats_pm, attn_params["encoder_att"]["w"], preferred_element_type=jnp.float32)
         + attn_params["encoder_att"]["b"]
     )
+
+
+def attn_greedy_decode_pallas(
+    params: Dict[str, jax.Array],
+    cfg,
+    cnn_feature: jax.Array,  # [B, C, P]
+    start_token: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """Greedy attention decode with the fused Pallas context kernel
+    (rnn_attn.py:77-94 semantics; --use_pallas path for attn variants)."""
+    from show_tell_tpu.models.attention import _init_hidden, _last_h, _linear
+    from show_tell_tpu.models.rnn_cells import stack_step
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = cnn_feature.shape[0]
+    feats_pm = jnp.swapaxes(cnn_feature, 1, 2)
+    dtype = params["embedding"].dtype
+    att1 = precompute_att1(params["attn"], feats_pm).astype(dtype)
+    state0 = _init_hidden(params, cfg, cnn_feature)
+    w0 = params["embedding"][jnp.full((B,), start_token, jnp.int32)]
+    step_fn = stack_step(cfg.cell_type)
+    block_b = 8 if B % 8 == 0 else 1
+
+    def body(carry, _):
+        w_emb, st = carry
+        context, _alpha = attention_context_pallas(
+            params["attn"], feats_pm, att1, _last_h(st, cfg.cell_type), block_b=block_b, interpret=interpret
+        )
+        x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
+        top, st2 = step_fn(params["rnn"], x, st)
+        logits = _linear(params["linear"], top)
+        tok = jnp.argmax(logits, axis=-1)
+        return (params["embedding"][tok], st2), tok
+
+    (_, _), toks = jax.lax.scan(body, (w0, state0), None, length=cfg.max_caption_length)
+    return jnp.swapaxes(toks, 0, 1)

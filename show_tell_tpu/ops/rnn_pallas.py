@@ -108,7 +108,13 @@ def lstm_stack_step_pallas(
     cs: jax.Array,  # [L, B, H]
     interpret: bool = False,
 ):
-    """Returns (top [B, H], (new_hs, new_cs))."""
+    """Returns (top [B, H], (new_hs, new_cs)).
+
+    VMEM note: the 4-gate weight blocks are double-buffered across the
+    layer grid; at H=512 that is ~8MB in bf16 (fits) but ~16MB in f32
+    (exceeds the 16MB VMEM budget together with h/c/x).  Callers should
+    use bf16 for large H (the serving dtype); for f32 H>=512 use the XLA
+    stack step instead."""
     L, B, H = hs.shape
     GH = 4 * H
     E = x.shape[1]
@@ -191,6 +197,13 @@ def greedy_decode_pallas(
         interpret = jax.default_backend() != "tpu"
     B = cnn_feature.shape[0]
     dtype = params["embedding"].dtype
+    if cfg.cell_type == "lstm" and not interpret:
+        # VMEM guard: double-buffered 4-gate weight blocks must fit.
+        gates_bytes = 2 * 2 * cfg.hidden_dim * 4 * cfg.hidden_dim * jnp.dtype(dtype).itemsize
+        if gates_bytes > 12 * 1024 * 1024:
+            from show_tell_tpu.models.decoder import greedy_decode
+
+            return greedy_decode(params, cfg, cnn_feature)
     stacked = prepare_rnn_weights(params["rnn"])
     stacked = jax.tree.map(lambda w: w.astype(dtype), stacked)
     hs0 = jnp.zeros((cfg.num_layers, B, cfg.hidden_dim), dtype)

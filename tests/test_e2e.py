@@ -169,3 +169,20 @@ def test_dp_training_via_cli(tmp_path):
     with open(os.path.join(out_dir, "model_1_metrics.ckpt"), "rb") as f:
         metrics = pickle.load(f)
     assert all(np.isfinite(metrics["train_loss"]))
+
+
+def test_faithful_beam_cli(trained):
+    """--faithful_beam reproduces the reference in-class beam flow through
+    the CLI (batch forced to 1, GRU only)."""
+    data_root, out_dir, _ = trained
+    res = run(
+        "gru",
+        _argv(
+            data_root,
+            out_dir,
+            ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1",
+             "--beam_size", "2", "--faithful_beam", "1"],
+        ),
+    )
+    assert res["params"]["batch_size"] == 1
+    assert np.isfinite(res["scores"]["test_loss"])

@@ -1,0 +1,117 @@
+"""On-chip smoke suite: validates the Pallas kernels and hot paths on the
+REAL TPU (the pytest suite runs them in interpreter mode on CPU).
+
+Run: python tools/tpu_smoke.py          (~5-8 min incl. compiles)
+
+Checks (printed PASS/FAIL):
+  1. fused GRU stack-step kernel == XLA cell stack (f32 exact-ish)
+  2. fused LSTM stack-step kernel == XLA cell stack
+  3. pallas greedy decode tokens == XLA scan decode (bf16; ties tolerated)
+  4. attention-context kernel == attention_net
+  5. preprocessing kernel == XLA preprocess (within FMA noise)
+  6. one train step runs finite on-chip
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def check(name, ok, detail=""):
+    print("%-45s %s %s" % (name, "PASS" if ok else "FAIL", detail))
+    return ok
+
+
+def main():
+    print("devices:", jax.devices())
+    ok = True
+    rng = np.random.RandomState(0)
+
+    from show_tell_tpu.models.decoder import DecoderConfig, greedy_decode, init_decoder_params
+    from show_tell_tpu.models.rnn_cells import stack_step_gru, stack_step_lstm
+    from show_tell_tpu.ops.rnn_pallas import (
+        greedy_decode_pallas,
+        gru_stack_step_pallas,
+        lstm_stack_step_pallas,
+        prepare_rnn_weights,
+    )
+
+    B, E, H, L, V = 128, 256, 512, 5, 9956
+    cfg_g = DecoderConfig("gru", E, H, V, L)
+    params_g = init_decoder_params(jax.random.PRNGKey(0), cfg_g)
+    stacked = prepare_rnn_weights(params_g["rnn"])
+    x = jnp.asarray(rng.randn(B, E).astype(np.float32))
+    hs = jnp.asarray(rng.randn(L, B, H).astype(np.float32))
+    ref_top, _ = stack_step_gru(params_g["rnn"], x, hs)
+    top, _ = gru_stack_step_pallas(stacked, x, hs, interpret=False)
+    diff = float(jnp.abs(top - ref_top).max())
+    ok &= check("gru stack-step kernel", diff < 5e-4, "maxdiff=%.2e" % diff)
+
+    # LSTM kernel in bf16 (the serving dtype): f32 4-gate weights at H=512
+    # exceed the double-buffered VMEM budget (see ops/rnn_pallas.py).
+    bf16 = jnp.bfloat16
+    cfg_l = DecoderConfig("lstm", E, H, V, L)
+    params_l = init_decoder_params(jax.random.PRNGKey(1), cfg_l)
+    pl16 = jax.tree.map(lambda a: a.astype(bf16), params_l)
+    stacked_l = prepare_rnn_weights(pl16["rnn"])
+    cs = jnp.asarray(rng.randn(L, B, H).astype(np.float32))
+    ref_top, _ = stack_step_lstm(pl16["rnn"], x.astype(bf16), (hs.astype(bf16), cs.astype(bf16)))
+    top, _ = lstm_stack_step_pallas(stacked_l, x.astype(bf16), hs.astype(bf16), cs.astype(bf16), interpret=False)
+    diff = float(jnp.abs(top.astype(jnp.float32) - ref_top.astype(jnp.float32)).max())
+    ok &= check("lstm stack-step kernel (bf16)", diff < 5e-2, "maxdiff=%.2e" % diff)
+
+    bf = jnp.bfloat16
+    pg = jax.tree.map(lambda a: a.astype(bf), params_g)
+    feat = jnp.asarray(rng.randn(B, E).astype(np.float32)).astype(bf)
+    a = np.asarray(jax.jit(lambda f: greedy_decode(pg, cfg_g, f))(feat))
+    b = np.asarray(jax.jit(lambda f: greedy_decode_pallas(pg, cfg_g, f, interpret=False))(feat))
+    agree = (a == b).mean()
+    ok &= check("pallas greedy decode (bf16)", agree > 0.95, "token agreement=%.3f" % agree)
+
+    from show_tell_tpu.models.attention import AttnDecoderConfig, attention_net, init_attn_decoder_params
+    from show_tell_tpu.ops.attention_pallas import attention_context_pallas, precompute_att1
+
+    acfg = AttnDecoderConfig("gru", 512, 2048, 512, 512, V, L)
+    ap = init_attn_decoder_params(jax.random.PRNGKey(2), acfg)
+    feats_pm = jnp.asarray(rng.randn(64, 49, 2048).astype(np.float32))
+    hidden = jnp.asarray(rng.randn(64, 512).astype(np.float32))
+    rc, ra = attention_net(ap["attn"], feats_pm, hidden)
+    att1 = precompute_att1(ap["attn"], feats_pm)
+    c, al = attention_context_pallas(ap["attn"], feats_pm, att1, hidden, interpret=False)
+    diff = float(jnp.abs(c - rc).max())
+    ok &= check("attention-context kernel", diff < 1e-2, "ctx maxdiff=%.2e" % diff)
+
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.ops.preprocess_pallas import preprocess_images_pallas
+
+    imgs = jnp.asarray(rng.randint(0, 255, (32, 224, 224, 3), dtype=np.uint8))
+    ref = preprocess_images(imgs, jax.random.PRNGKey(0), augment=False, dtype=jnp.float32)
+    got = preprocess_images_pallas(imgs, dtype=jnp.float32, interpret=False)
+    diff = float(jnp.abs(got - ref).max())
+    ok &= check("preprocess kernel", diff < 1e-5, "maxdiff=%.2e" % diff)
+
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state, make_train_step
+
+    tcfg = CaptionerConfig("gru", 50, 64, 128, 500, 2)
+    opt = make_optimizer("SGD", 0.01, 0.9)
+    ts = create_train_state(jax.random.PRNGKey(3), tcfg, opt)
+    step = make_train_step(tcfg, opt)
+    images = rng.randint(0, 255, (16, 224, 224, 3), dtype=np.uint8)
+    caps = rng.randint(4, 500, (16, 16)).astype(np.int32)
+    lens = np.sort(rng.randint(4, 17, 16))[::-1].astype(np.int32).copy()
+    _, loss = step(ts, images, caps, lens)
+    ok &= check("train step on-chip", bool(np.isfinite(float(loss))), "loss=%.3f" % float(loss))
+
+    print("\nsmoke:", "ALL PASS" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
