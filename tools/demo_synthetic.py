@@ -85,6 +85,7 @@ def main():
     parser.add_argument("--images", type=int, default=400)
     parser.add_argument("--epochs", type=int, default=12)
     parser.add_argument("--root", default="/tmp/shape_demo")
+    parser.add_argument("--variant", default="gru", choices=["gru", "lstm", "attn", "attn_lstm"])
     args = parser.parse_args()
 
     import shutil
@@ -97,9 +98,12 @@ def main():
 
     from show_tell_tpu.cli.run import run
 
+    extra = []
+    if args.variant.startswith("attn"):
+        extra = ["--nos_cnn_filters", "512", "--attn_dim", "64", "--alpha_c", "0.1"]
     res = run(
-        "gru",
-        [
+        args.variant,
+        extra + [
             "--data_dir", data_root, "--output_dir", out_dir,
             "--train_ann_path", "annotations/captions_train2014.json",
             "--test_ann_path", "annotations/captions_train2014.json",
@@ -124,8 +128,9 @@ def main():
     cap = Captioner.from_checkpoint(
         os.path.join(out_dir, "model_%d.ckpt" % args.epochs),
         os.path.join(out_dir, "vocab.pkl"),
-        variant="gru", resnet_version=18, embed_dim=64, hidden_dim=128,
+        variant=args.variant, resnet_version=18, embed_dim=64, hidden_dim=128,
         num_layers=1, compute_dtype="float32",
+        nos_filters=512, attn_dim=64,
     )
     rng = random.Random(999)  # never used for training data
     imgs, truths = [], []
