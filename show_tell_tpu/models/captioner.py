@@ -37,6 +37,9 @@ class CaptionerConfig(NamedTuple):
     alpha_c: float = 1.0
     max_caption_length: int = 25
     start_token: int = 1
+    # False = faithful reference alignment for attention variants
+    # (w_t -> w_t copy task, SURVEY.md 3.2); True = proper next-token.
+    attn_next_token: bool = False
 
     @property
     def is_attention(self) -> bool:
@@ -120,8 +123,21 @@ def captioner_loss(
     attention variants, main_attn.py:130-131).  Returns (loss, new_state)."""
     feats, new_state = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training)
     if cfg.is_attention:
-        preds, alphas = attn_mod.attn_decoder_forward(params["decoder"], cfg.decoder_config(), feats, captions, lengths)
-        loss = dec_mod.masked_cross_entropy(preds, captions, lengths)
+        if cfg.attn_next_token:
+            # Corrected alignment (--attn_next_token): step t consumes
+            # caption[t] and predicts caption[t+1]; valid steps t < len-1.
+            lengths_nt = jnp.maximum(lengths - 1, 0)
+            preds, alphas = attn_mod.attn_decoder_forward(
+                params["decoder"], cfg.decoder_config(), feats, captions, lengths_nt
+            )
+            targets = jnp.concatenate([captions[:, 1:], jnp.zeros_like(captions[:, :1])], axis=1)
+            loss = dec_mod.masked_cross_entropy(preds, targets, lengths_nt)
+        else:
+            # Faithful reference alignment: w_t -> w_t (SURVEY.md 3.2).
+            preds, alphas = attn_mod.attn_decoder_forward(
+                params["decoder"], cfg.decoder_config(), feats, captions, lengths
+            )
+            loss = dec_mod.masked_cross_entropy(preds, captions, lengths)
         loss = loss + cfg.alpha_c * attn_mod.doubly_stochastic_penalty(alphas)
     else:
         logits = dec_mod.decoder_forward(params["decoder"], cfg.decoder_config(), feats, captions, lengths)

@@ -40,6 +40,7 @@ def captioner_config_from_params(params: Dict[str, Any], vocab_size: int) -> Cap
         alpha_c=params.get("alpha_c", 1.0),
         max_caption_length=params.get("max_caption_length", 25),
         start_token=1,
+        attn_next_token=bool(params.get("attn_next_token", 0)),
     )
 
 

@@ -162,3 +162,35 @@ def test_greedy_decode_matches(cell):
 
     ours = np.asarray(attn_greedy_decode(params, cfg, jnp.asarray(feats), start))
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_attn_next_token_mode():
+    """--attn_next_token computes CE against shifted targets with len-1
+    valid steps (the corrected alignment; default stays faithful)."""
+    import jax
+
+    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_loss, init_captioner
+    from show_tell_tpu.models.attention import attn_decoder_forward
+    from show_tell_tpu.models.decoder import masked_cross_entropy
+    from show_tell_tpu.models.encoder import encoder_forward
+
+    cfg_f = CaptionerConfig("attn", 18, 16, 24, 40, 1, nos_filters=512, attn_dim=8, alpha_c=0.0)
+    cfg_nt = cfg_f._replace(attn_next_token=True)
+    params, state = init_captioner(jax.random.PRNGKey(0), cfg_f)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(3, 64, 64, 3).astype(np.float32))
+    captions = jnp.asarray(rng.randint(4, 40, (3, 8)).astype(np.int32))
+    lengths = jnp.asarray(np.array([8, 6, 4], dtype=np.int32))
+
+    loss_f, _ = captioner_loss(params, state, cfg_f, images, captions, lengths, training=False)
+    loss_nt, _ = captioner_loss(params, state, cfg_nt, images, captions, lengths, training=False)
+    assert float(loss_f) != float(loss_nt)
+
+    # Manual recomputation of the next-token loss.
+    feats, _ = encoder_forward(params["encoder"], state, cfg_nt.encoder_config(), images, training=False)
+    lengths_nt = lengths - 1
+    preds, _ = attn_decoder_forward(params["decoder"], cfg_nt.decoder_config(), feats, captions, lengths_nt)
+    targets = jnp.concatenate([captions[:, 1:], jnp.zeros_like(captions[:, :1])], axis=1)
+    want = float(masked_cross_entropy(preds, targets, lengths_nt))
+    assert abs(float(loss_nt) - want) < 1e-6

@@ -86,6 +86,7 @@ def main():
     parser.add_argument("--epochs", type=int, default=12)
     parser.add_argument("--root", default="/tmp/shape_demo")
     parser.add_argument("--variant", default="gru", choices=["gru", "lstm", "attn", "attn_lstm"])
+    parser.add_argument("--next_token", action="store_true", help="corrected attention alignment (--attn_next_token)")
     args = parser.parse_args()
 
     import shutil
@@ -101,6 +102,8 @@ def main():
     extra = []
     if args.variant.startswith("attn"):
         extra = ["--nos_cnn_filters", "512", "--attn_dim", "64", "--alpha_c", "0.1"]
+        if args.next_token:
+            extra += ["--attn_next_token", "1"]
     res = run(
         args.variant,
         extra + [
