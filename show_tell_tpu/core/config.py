@@ -153,6 +153,11 @@ def build_arg_parser(
         add("--device", type=str, default=config.get("device", "gpu"), help="device to be used - gpu/cpu/tpu")
         add("--sub_batch_test", type=int, default=config.get("sub_batch_test", 10), help="Number of mini-batches to be used from test while training")
         add("--beam_size", type=int, default=0, help="Beam size in testing")
+    else:
+        # TPU extension: the reference LSTM/attention CLIs have no beam
+        # flag; the batched beam here serves all variants (and needs no
+        # batch_size=1 restriction).
+        add("--beam_size", type=int, default=0, help="Beam size in testing (framework extension; 0 = greedy like the reference)")
 
     # --- TPU-native extensions (not present in the reference CLI) ---
     add("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"], help="matmul/activation dtype on device (float32 for parity, bfloat16 for speed)")
@@ -189,7 +194,9 @@ def load_params(
     params["variant"] = variant
     params["data_source"] = data_source
     derive_paths(params)
-    # Reference main.py:81-82: beam search is single-image only.
-    if params.get("beam_size", 0) and params["beam_size"] > 0:
+    # Reference main.py:81-82: beam search forces batch_size=1 — a
+    # main.py (GRU CLI) behavior kept for parity; the extension beam on
+    # the other variants is batched and needs no such restriction.
+    if variant == "gru" and params.get("beam_size", 0) and params["beam_size"] > 0:
         params["batch_size"] = 1
     return params

@@ -37,7 +37,9 @@ def test_attention_variant_flags():
     assert p["nos_cnn_filters"] == 2048
     assert p["attn_dim"] == 512
     assert p["alpha_c"] == 1.0
-    assert "beam_size" not in p  # attention CLI has no beam flag
+    # beam_size exists as a TPU extension (the reference attention CLI has
+    # none); it defaults to 0 (greedy) and does NOT force batch_size=1.
+    assert p["beam_size"] == 0
 
 
 def test_overrides():
@@ -62,3 +64,10 @@ def test_all_reference_flags_accepted():
     known = {a for action in parser._actions for a in action.option_strings}
     for f in flags:
         assert f in known, f
+
+
+def test_extension_beam_keeps_batch_size():
+    p = load_params(["--beam_size", "3", "--batch_size", "16"], variant="attn")
+    assert p["batch_size"] == 16  # batched beam, no batch-1 forcing
+    p = load_params(["--beam_size", "3", "--batch_size", "16"], variant="gru")
+    assert p["batch_size"] == 1  # reference main.py:81-82 behavior kept
