@@ -112,3 +112,87 @@ def test_captioner_dp_serving_matches_single_device(trained):
     )
     got = dp_cap.caption(images)
     assert got == ref
+
+
+def test_captioner_from_torch_checkpoint(tmp_path):
+    """Captioner loads a reference-format torch checkpoint directly."""
+    torch = pytest.importorskip("torch")
+    import pickle
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_resnet_oracle import TorchResNet
+    from show_tell_tpu.vocab.vocabulary import DatasetVocabulary, save_vocab
+
+    V, E, H, L = 30, 20, 24, 2
+    vocab = DatasetVocabulary()
+    for w in ["<pad>", "<start>", "<end>", "<unk>"] + ["w%d" % i for i in range(V - 4)]:
+        vocab.add_new_word(w)
+    vocab_path = str(tmp_path / "vocab.pkl")
+    save_vocab(vocab, vocab_path)
+
+    torch.manual_seed(0)
+    backbone = TorchResNet(18)
+    lin = torch.nn.Linear(512, E)
+    bn = torch.nn.BatchNorm1d(E, momentum=0.01)
+    idx_map = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5", "layer3": "6", "layer4": "7"}
+    enc_sd = {}
+    for k, v in backbone.state_dict().items():
+        if k.startswith("fc."):
+            continue
+        root = k.split(".")[0]
+        enc_sd["model." + idx_map[root] + k[len(root):]] = v
+    for k, v in lin.state_dict().items():
+        enc_sd["linear_secondlast_layer." + k] = v
+    for k, v in bn.state_dict().items():
+        enc_sd["last_layer." + k] = v
+    emb = torch.nn.Embedding(V, E)
+    unit = torch.nn.GRU(E, H, L, batch_first=True)
+    out_lin = torch.nn.Linear(H, V)
+    dec_sd = {"embeddings.weight": emb.weight}
+    for k, v in unit.state_dict().items():
+        dec_sd["unit." + k] = v
+    dec_sd["linear.weight"], dec_sd["linear.bias"] = out_lin.weight, out_lin.bias
+    ckpt_path = str(tmp_path / "model_9.ckpt")
+    torch.save(
+        {"encoder_state_dict": enc_sd, "decoder_state_dict": dec_sd,
+         "optimizer_state_dict": {}, "epoch": 9, "step": 1}, ckpt_path,
+    )
+
+    cap = Captioner.from_checkpoint(
+        ckpt_path, vocab_path, variant="gru", resnet_version=18,
+        embed_dim=E, hidden_dim=H, num_layers=L, compute_dtype="float32",
+    )
+    images = np.random.RandomState(0).randint(0, 255, (2, 224, 224, 3), dtype=np.uint8)
+    caps = cap.caption(images)
+    assert len(caps) == 2
+
+
+def test_loader_multiworker_deterministic(tmp_path):
+    from fixtures import build_mini_coco, mini_params
+    from show_tell_tpu.data import get_data_loader
+    from show_tell_tpu.vocab import get_vocabulary
+
+    build_mini_coco(str(tmp_path / "data"))
+    p1 = mini_params(str(tmp_path / "data"), str(tmp_path / "out"), num_workers=4)
+    vocab = get_vocabulary("MSCOCO", p1)
+    l_multi = list(get_data_loader(vocab, p1, "test"))
+    p2 = mini_params(str(tmp_path / "data"), str(tmp_path / "out"), num_workers=0)
+    l_single = list(get_data_loader(vocab, p2, "test"))
+    assert len(l_multi) == len(l_single)
+    for a, b in zip(l_multi, l_single):
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_array_equal(a[2], b[2])
+
+
+def test_coco_empty_annotations(tmp_path):
+    import json
+
+    from show_tell_tpu.data.coco import CocoCaptions
+
+    path = tmp_path / "empty.json"
+    with open(path, "w") as f:
+        json.dump({"images": [], "annotations": []}, f)
+    coco = CocoCaptions(str(path))
+    assert coco.anns == {} and coco.getAnnIds() == []
