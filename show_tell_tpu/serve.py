@@ -106,13 +106,12 @@ class Captioner:
             return import_torch_checkpoint(ckpt_path, cfg)
         enc = ckpt["encoder_state_dict"]
         params = {
-            "encoder": {**enc["frozen"], **enc["trainable"]},
+            "encoder": {
+                "resnet": enc["frozen"]["resnet"],
+                "linear_secondlast_layer": enc["trainable"]["linear_secondlast_layer"],
+                "last_layer": enc["trainable"]["last_layer"],
+            },
             "decoder": ckpt["decoder_state_dict"],
-        }
-        params["encoder"] = {
-            "resnet": enc["frozen"]["resnet"],
-            "linear_secondlast_layer": enc["trainable"]["linear_secondlast_layer"],
-            "last_layer": enc["trainable"]["last_layer"],
         }
         params = jax.tree.map(jnp.asarray, params)
         bn_state = jax.tree.map(jnp.asarray, enc["bn_state"])

@@ -117,7 +117,6 @@ def test_captioner_dp_serving_matches_single_device(trained):
 def test_captioner_from_torch_checkpoint(tmp_path):
     """Captioner loads a reference-format torch checkpoint directly."""
     torch = pytest.importorskip("torch")
-    import pickle
     import sys
 
     sys.path.insert(0, os.path.dirname(__file__))

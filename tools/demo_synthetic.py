@@ -41,24 +41,44 @@ TEMPLATES = [
 ]
 
 
+def _draw_shape(d, shape, box, c):
+    if shape == "circle":
+        d.ellipse(box, fill=c)
+    elif shape == "square":
+        d.rectangle(box, fill=c)
+    else:
+        x0, y0, x1, y1 = box
+        d.polygon([((x0 + x1) // 2, y0), (x0, y1), (x1, y1)], fill=c)
+
+
 def draw_sample(rng, size=224):
     color = rng.choice(list(COLORS))
     shape = rng.choice(SHAPES)
     bg = rng.choice(list(BACKGROUNDS))
     img = Image.new("RGB", (size, size), BACKGROUNDS[bg])
     d = ImageDraw.Draw(img)
-    c = COLORS[color]
     m, M = size // 5, 4 * size // 5
-    if shape == "circle":
-        d.ellipse([m, m, M, M], fill=c)
-    elif shape == "square":
-        d.rectangle([m, m, M, M], fill=c)
-    else:
-        d.polygon([(size // 2, m), (m, M), (M, M)], fill=c)
+    _draw_shape(d, shape, [m, m, M, M], COLORS[color])
     return img, color, shape, bg
 
 
-def build_dataset(root, n_images, seed=0):
+def draw_compositional(rng, size=224):
+    """Two objects with a left/right relation — pooled features cannot
+    represent WHICH side each object is on; spatial attention can."""
+    (c1, s1), (c2, s2) = rng.sample(
+        [(c, s) for c in COLORS for s in SHAPES], 2
+    )
+    bg = rng.choice(list(BACKGROUNDS))
+    img = Image.new("RGB", (size, size), BACKGROUNDS[bg])
+    d = ImageDraw.Draw(img)
+    q, h = size // 4, size // 2
+    _draw_shape(d, s1, [q - 40, h - 40, q + 40, h + 40], COLORS[c1])   # left
+    _draw_shape(d, s2, [3 * q - 40, h - 40, 3 * q + 40, h + 40], COLORS[c2])  # right
+    caption = "a %s %s left of a %s %s." % (c1, s1, c2, s2)
+    return img, caption, (c1, s1, c2, s2)
+
+
+def build_dataset(root, n_images, seed=0, compositional=False):
     rng = random.Random(seed)
     img_dir = os.path.join(root, "train2014")
     ann_dir = os.path.join(root, "annotations")
@@ -67,14 +87,17 @@ def build_dataset(root, n_images, seed=0):
     images, anns = [], []
     ann_id = 1
     for img_id in range(1, n_images + 1):
-        img, color, shape, bg = draw_sample(rng)
         fname = "COCO_train2014_%012d.jpg" % img_id
+        if compositional:
+            img, caption, _ = draw_compositional(rng)
+            captions = [caption, caption.replace("a ", "one ", 1)]
+        else:
+            img, color, shape, bg = draw_sample(rng)
+            captions = [tpl.format(color=color, shape=shape, bg=bg) for tpl in rng.sample(TEMPLATES, 2)]
         img.save(os.path.join(img_dir, fname), quality=92)
         images.append({"id": img_id, "file_name": fname})
-        for tpl in rng.sample(TEMPLATES, 2):
-            anns.append(
-                {"id": ann_id, "image_id": img_id, "caption": tpl.format(color=color, shape=shape, bg=bg)}
-            )
+        for cap in captions:
+            anns.append({"id": ann_id, "image_id": img_id, "caption": cap})
             ann_id += 1
     with open(os.path.join(ann_dir, "captions_train2014.json"), "w") as f:
         json.dump({"images": images, "annotations": anns}, f)
@@ -87,6 +110,7 @@ def main():
     parser.add_argument("--root", default="/tmp/shape_demo")
     parser.add_argument("--variant", default="gru", choices=["gru", "lstm", "attn", "attn_lstm"])
     parser.add_argument("--next_token", action="store_true", help="corrected attention alignment (--attn_next_token)")
+    parser.add_argument("--compositional", action="store_true", help="two-object left/right task (pooling-breaking)")
     args = parser.parse_args()
 
     import shutil
@@ -94,7 +118,7 @@ def main():
     shutil.rmtree(args.root, ignore_errors=True)
     data_root = os.path.join(args.root, "data")
     out_dir = os.path.join(args.root, "out")
-    build_dataset(data_root, args.images)
+    build_dataset(data_root, args.images, compositional=args.compositional)
     os.makedirs(out_dir, exist_ok=True)
 
     from show_tell_tpu.cli.run import run
@@ -125,6 +149,8 @@ def main():
     for k in ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "test_loss"]:
         print("%-10s %.4f" % (k, scores[k]))
 
+    if args.compositional:
+        return
     # Generalization probe: caption UNSEEN images; count attribute hits.
     from show_tell_tpu.serve import Captioner
 
