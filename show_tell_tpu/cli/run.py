@@ -22,8 +22,28 @@ from show_tell_tpu.train.train_step import create_train_state
 from show_tell_tpu.vocab.vocabulary import get_vocabulary
 
 
+def apply_device(device: str) -> None:
+    """Honor ``--device`` (reference main.py:62,104-113 places on cpu/gpu).
+
+    ``cpu`` forces the JAX CPU backend — must run before the backend
+    initializes (see tests/conftest.py for the same pattern).  ``gpu`` and
+    ``tpu`` both mean "the default accelerator": the reference's ``.cuda()``
+    placement maps to whatever accelerator JAX sees, so they are aliases.
+    """
+    if device == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # backend already initialized
+            pass
+        if jax.default_backend() != "cpu":
+            print("Warning: --device cpu requested but the %s backend was already initialized." % jax.default_backend())
+    elif device not in ("gpu", "tpu"):
+        raise ValueError("Please specify a valid device - gpu/cpu/tpu. %s doesn't exist." % (device,))
+
+
 def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCOCO") -> Dict[str, Any]:
     params = load_params(argv, variant=variant, data_source=data_source)
+    apply_device(params.get("device", "gpu"))
     print("Parameters being used by the Model - ", params)
 
     vocab = get_vocabulary(data_source, params)

@@ -144,6 +144,22 @@ class DataLoader:
         self.pad_length = pad_length
         self.prefetch = prefetch
         self._rng = np.random.RandomState(seed)
+        # One decode pool per loader, shared across epochs (__iter__ calls);
+        # long in-process sweeps must not accumulate thread pools.
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._producer: Optional[threading.Thread] = None
+
+    def close(self) -> None:
+        """Release the decode pool (idempotent; loader stays reusable)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -166,16 +182,32 @@ class DataLoader:
         batches = self._batch_indices()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        stop = threading.Event()
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pool = self._pool
+
+        def put_or_stop(item) -> bool:
+            # Bounded put: never block forever if the consumer went away
+            # (early `break` from the epoch loop, exception, GC).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idxs in batches:
-                    q.put(self._load_batch(idxs, pool))
+                    if stop.is_set() or not put_or_stop(self._load_batch(idxs, pool)):
+                        return
             finally:
-                q.put(sentinel)
+                put_or_stop(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
+        self._producer = t
         t.start()
         try:
             while True:
@@ -184,7 +216,8 @@ class DataLoader:
                     break
                 yield item
         finally:
-            pool.shutdown(wait=False)
+            stop.set()
+            t.join(timeout=5.0)
 
 
 def get_data_loader(vocab, params: Dict[str, Any], run_type: str) -> DataLoader:

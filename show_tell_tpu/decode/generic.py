@@ -58,7 +58,15 @@ def beam_search(
     initial_state_function(X) -> state;
     generate_function(prev_state, prev_value) -> (next_values_probs [V],
     next_state); returns ``num_hypotheses`` id sequences, best first,
-    ranked by cumulative -log p; hypotheses emitting ``end_id`` retire.
+    ranked by raw cumulative -log p (reference beam_search.py:96 — no
+    length normalization); hypotheses emitting ``end_id`` retire.
+
+    Matches reference beam_search.py:45-97 semantics exactly: per-node
+    top-``beam_width`` expansion, global keep-``beam_width`` by cum_cost
+    each step, and final ranking over *retired* hypotheses only.  One
+    documented extension: if ``max_length`` is hit before any hypothesis
+    retires, the reference returns an empty list; we fall back to the
+    surviving fringe (still cum_cost-ranked) so callers always get output.
     """
     next_fringe = [Node(parent=None, state=initial_state_function(X), value=start_id, cost=0.0)]
     hypotheses: List[Node] = []
@@ -82,6 +90,7 @@ def beam_search(
         candidates.sort(key=lambda n: n.cum_cost)
         next_fringe = candidates[:beam_width]
 
-    hypotheses.extend(next_fringe)
-    hypotheses.sort(key=lambda n: n.cum_cost / max(n.length, 1))
+    if not hypotheses:  # extension: ref returns [] when nothing retired
+        hypotheses = list(next_fringe)
+    hypotheses.sort(key=lambda n: n.cum_cost)
     return [h.to_sequence_of_values() for h in hypotheses[:num_hypotheses]]

@@ -55,10 +55,13 @@ def make_test_step(
     augment: bool = True,
     use_pallas: bool = False,
     compute_dtype=None,
+    loss_only: bool = False,
 ):
     """Jitted (loss, decoded ids) for one batch; beam_size>0 uses the
     standard batched beam (non-attention decoders only, like the ref);
-    use_pallas routes greedy GRU decode through the fused Pallas kernel."""
+    use_pallas routes greedy GRU decode through the fused Pallas kernel;
+    loss_only skips the decode (the faithful-beam path decodes separately
+    — don't compute a greedy decode that gets thrown away)."""
 
     dtype = compute_dtype or jnp.float32
 
@@ -67,7 +70,9 @@ def make_test_step(
         images = preprocess_images(images_u8, key, augment=augment, dtype=dtype)
         params = merge_params(trainable, frozen)
         loss, _ = captioner_loss(params, bn_state, cfg, images, captions, lengths, training=False)
-        if beam_size > 0:
+        if loss_only:
+            ids = jnp.zeros((images.shape[0], 0), dtype=jnp.int32)
+        elif beam_size > 0:
             feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
             if cfg.is_attention:  # framework extension: ref is greedy-only here
                 ids = attn_beam_search_decode(
@@ -125,15 +130,29 @@ def test_model(
             bn_state=cast(train_state.bn_state),
         )
 
+    eval_augment = bool(params.get("eval_augment", 1))
+    eval_dtype = jnp.bfloat16 if params.get("compute_dtype") == "bfloat16" else jnp.float32
+    use_faithful = faithful_beam and beam_size > 0
     step_fn = make_test_step(
         cfg,
         0 if faithful_beam else beam_size,
         # The reference augments (random flips) at test time (utils.py:96);
         # --eval_augment 0 pins eval deterministic (SURVEY.md §7).
-        augment=bool(params.get("eval_augment", 1)),
+        augment=eval_augment,
         use_pallas=bool(params.get("use_pallas")),
-        compute_dtype=(jnp.bfloat16 if params.get("compute_dtype") == "bfloat16" else None),
+        compute_dtype=eval_dtype,
+        loss_only=use_faithful,
     )
+    if use_faithful:
+        # Same augment flag + same per-batch key as the jitted loss step,
+        # so the teacher-forced loss and the beam decode see one flip draw.
+        @jax.jit
+        def faithful_feats_fn(trainable, frozen, bn_state, images_u8, key):
+            images = preprocess_images(images_u8, key, augment=eval_augment, dtype=eval_dtype)
+            full = merge_params(trainable, frozen)
+            feats, _ = encoder_forward(full["encoder"], bn_state, cfg.encoder_config(), images, training=False)
+            return feats
+
     key = jax.random.PRNGKey(seed)
 
     start_time = time.time()
@@ -146,12 +165,11 @@ def test_model(
         loss, ids = step_fn(
             train_state.trainable, train_state.frozen, train_state.bn_state, images, captions, lengths, sub
         )
-        if faithful_beam and beam_size > 0:
-            images_f = preprocess_images(images, sub, augment=True)
-            full = merge_params(train_state.trainable, train_state.frozen)
-            feats, _ = encoder_forward(
-                full["encoder"], train_state.bn_state, cfg.encoder_config(), images_f, training=False
+        if use_faithful:
+            feats = faithful_feats_fn(
+                train_state.trainable, train_state.frozen, train_state.bn_state, images, sub
             )
+            full = merge_params(train_state.trainable, train_state.frozen)
             ids = faithful_beam_decode(full["decoder"], cfg.decoder_config(), feats, beam_size)[None, :]
         test_loss.append(float(loss))
 

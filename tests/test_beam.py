@@ -2,6 +2,8 @@
 beam_size=1 == greedy prefix, and the faithful beam vs a torch re-enactment
 of reference rnn.py:60-108."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -210,3 +212,89 @@ def test_attn_beam1_equals_greedy_prefix():
         ends = np.where(greedy[b] == END)[0]
         upto = (ends[0] + 1) if len(ends) else acfg.max_caption_length
         np.testing.assert_array_equal(beam[b, :upto], greedy[b, :upto])
+
+
+# --------- generic callback beam vs reference beam_search.py ----------- #
+
+
+def _markov_tables(seed, V):
+    r = np.random.RandomState(seed)
+    logits = r.randn(V, V)
+    P = np.exp(logits - logits.max(axis=1, keepdims=True))
+    return P / P.sum(axis=1, keepdims=True)
+
+
+def test_generic_beam_hand_computed_three_steps():
+    """Hand-worked 3-step example of the reference algorithm
+    (beam_search.py:45-97): per-node top-K expansion, global keep-K by
+    cum_cost, final raw-cum_cost ranking of retired hypotheses."""
+    from show_tell_tpu.decode.generic import beam_search
+
+    P = np.array(
+        [
+            [0.10, 0.60, 0.20, 0.10],
+            [0.05, 0.05, 0.50, 0.40],
+            [0.35, 0.25, 0.20, 0.20],
+            [0.25, 0.25, 0.25, 0.25],
+        ]
+    )
+
+    def gen(state, value):
+        return P[value], state
+
+    # Step 1: top-2 of P[0] -> [0,1](0.511), [0,2](1.609)
+    # Step 2: expand both; keep [0,1,2](1.204), [0,1,3](1.427, end)
+    # Step 3: [0,1,3] retires; fringe [0,1,2] expands but never retires.
+    hyps = beam_search(lambda x: 0, gen, None, start_id=0, end_id=3, beam_width=2, max_length=3)
+    assert hyps == [[0, 1, 3]]
+
+    # max_length=2: nothing retires — the reference returns []; our
+    # documented extension falls back to the cum_cost-best fringe node.
+    hyps = beam_search(lambda x: 0, gen, None, start_id=0, end_id=3, beam_width=2, max_length=2)
+    assert hyps == [[0, 1, 2]]
+
+
+def test_generic_beam_differential_vs_reference_module():
+    """Fuzz the generic beam against the ACTUAL reference beam_search.py
+    (numpy-only, imported live from /root/reference) on random Markov
+    token tables — sequences and ranking must agree exactly."""
+    import importlib.util
+
+    path = "/root/reference/beam_search.py"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location("ref_beam_search", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from show_tell_tpu.decode.generic import beam_search as ours
+
+    V, END = 6, 5
+    for seed in range(5):
+        P = _markov_tables(seed, V)
+
+        def init_ref(_x):
+            return np.zeros((1, 1), dtype=np.float32)
+
+        def gen_ref(_x, y_tm1, state_tm1):
+            p_t = P[np.asarray(y_tm1)]
+            return state_tm1.reshape(len(y_tm1), -1), p_t, [None] * len(y_tm1)
+
+        def gen_ours(state, value):
+            return P[value], state
+
+        for K in (1, 2, 3, 4):
+            for max_len in (3, 8, 30):
+                got = ours(
+                    lambda x: 0, gen_ours, None, start_id=0, end_id=END,
+                    beam_width=K, num_hypotheses=K, max_length=max_len,
+                )
+                want_nodes = ref.beam_search(
+                    init_ref, gen_ref, [0], start_id=0, end_id=END,
+                    beam_width=K, num_hypotheses=K, max_length=max_len,
+                )
+                want = [n.to_sequence_of_values() for n in want_nodes]
+                if want:
+                    assert got == want, (seed, K, max_len)
+                else:  # documented extension: fringe fallback instead of []
+                    assert got, (seed, K, max_len)

@@ -98,3 +98,32 @@ def test_preprocess_images():
             expected[b, ::-1, ::-1],
         ]
         assert any(np.allclose(out_aug[b], c, atol=1e-5) for c in candidates)
+
+
+def test_loader_early_break_stops_producer(mini):
+    """A consumer that abandons the epoch early must not leave the
+    producer blocked on a full queue, and the decode pool is shared
+    across epochs instead of rebuilt per __iter__."""
+    from show_tell_tpu.data.dataset import MSCOCO as DS, DataLoader
+
+    params, vocab = mini
+    ds = DS(params["ann_path_test"], params["data_path_test"], vocab, train=False)
+    loader = DataLoader(ds, batch_size=1, prefetch=1)  # 16 batches, tiny queue
+
+    for batch in loader:
+        break  # consumer goes away; producer is mid-stream
+
+    t = loader._producer
+    t.join(5.0)
+    assert t is not None and not t.is_alive()
+
+    # Same loader iterates again cleanly, reusing one pool.
+    pool = loader._pool
+    assert pool is not None
+    assert sum(b[1].shape[0] for b in loader) == len(ds)
+    assert loader._pool is pool
+    loader._producer.join(5.0)
+    assert not loader._producer.is_alive()
+
+    loader.close()
+    assert loader._pool is None

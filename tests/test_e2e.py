@@ -186,3 +186,20 @@ def test_faithful_beam_cli(trained):
     )
     assert res["params"]["batch_size"] == 1
     assert np.isfinite(res["scores"]["test_loss"])
+
+
+def test_faithful_beam_loss_matches_greedy_eval(trained):
+    """The faithful-beam eval path honors --eval_augment and reuses the
+    same per-batch flip draw as the jitted loss step, so the teacher-forced
+    test loss is identical between greedy and faithful-beam eval modes."""
+    data_root, out_dir, _ = trained
+    base = ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1",
+            "--batch_size", "1"]
+    res_g = run("gru", _argv(data_root, out_dir, base))
+    res_f = run(
+        "gru",
+        _argv(data_root, out_dir, base + ["--beam_size", "2", "--faithful_beam", "1"]),
+    )
+    np.testing.assert_allclose(
+        res_f["scores"]["test_loss"], res_g["scores"]["test_loss"], rtol=1e-6
+    )

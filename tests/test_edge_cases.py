@@ -70,12 +70,13 @@ def test_generic_beam_multiple_hypotheses():
     V, END = 4, 3
 
     def gen(state, _v):
-        p = np.array([0.5, 0.3, 0.01, 0.19])
+        p = np.array([0.5, 0.05, 0.01, 0.44])
         return p, state
 
-    hyps = beam_search(lambda x: 0, gen, None, start_id=0, end_id=END, beam_width=3, num_hypotheses=3, max_length=3)
-    assert len(hyps) == 3
-    assert hyps[0] != hyps[1]
+    hyps = beam_search(lambda x: 0, gen, None, start_id=0, end_id=END, beam_width=3, num_hypotheses=3, max_length=6)
+    # Reference semantics (beam_search.py:96): retired hypotheses only,
+    # ranked by raw cumulative -log p — shortest retirement wins here.
+    assert hyps == [[0, END], [0, 0, END], [0, 0, 0, END]]
 
 
 def test_coco_get_ann_ids_list():
