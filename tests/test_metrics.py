@@ -122,3 +122,62 @@ def test_meteor_disabled_by_default():
     assert not meteor_available()
     got = evaluate(CASE2_TARGET, CASE2_PRED)
     assert "METEOR" not in got
+
+
+# ------- live differential fuzz vs the reference scorer module -------- #
+
+REF_METRICS_PATH = "/root/reference/evaluation/evaluation_metrics.py"
+
+
+def _load_reference_metrics():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_eval_metrics", REF_METRICS_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _random_corpus(rng, pool):
+    """One (target, predicted) pair: 1-8 images, 1-5 refs each, hyp
+    lengths 0-12 (empty hyps included), hyps sometimes copying a ref
+    prefix so n-gram overlap actually occurs."""
+    n_imgs = rng.randint(1, 9)
+    target, predicted = [], []
+    for _ in range(n_imgs):
+        refs = [
+            list(rng.choice(pool, size=rng.randint(1, 13)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        if rng.rand() < 0.4:  # hyp = prefix of a ref (high overlap)
+            src = refs[rng.randint(len(refs))]
+            hyp = src[: rng.randint(0, len(src) + 1)]
+        else:
+            hyp = list(rng.choice(pool, size=rng.randint(0, 13)))
+        target.append(refs)
+        predicted.append(hyp)
+    return target, predicted
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_METRICS_PATH), reason="reference checkout not available")
+def test_evaluate_differential_vs_live_reference():
+    """Fuzz evaluate() against the ACTUAL reference scorer module
+    (evaluation_metrics.py:662-717, numpy-only, imported live): BLEU-1..4,
+    CIDEr and ROUGE_L — including the wrapper's last-image CIDEr/ROUGE
+    shadowing bug — must agree to 1e-12 on random corpora with varying
+    ref counts, empty hypotheses, and unicode tokens."""
+    ref = _load_reference_metrics()
+    pool = np.array(
+        ["a", "the", "man", "dog", "rides", "wave", "park", "red", "bus",
+         "street", "on", "in", "two", "plays", "runs", "grass", "big",
+         "café", "naïve", "東京", "niño", "über"],
+        dtype=object,
+    )
+    rng = np.random.RandomState(7)
+    keys = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr", "ROUGE_L"]
+    for trial in range(25):
+        target, predicted = _random_corpus(rng, pool)
+        got = evaluate(target, predicted, faithful=True)
+        want = ref.evaluate(target, predicted)
+        for k in keys:
+            assert abs(got[k] - float(want[k])) < 1e-12, (trial, k, got[k], want[k])
