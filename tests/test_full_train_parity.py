@@ -1,7 +1,17 @@
 """Full train-step lockstep parity: our jitted step vs a torch re-enactment
-of the reference training semantics (main.py:136-152) with identical
-weights and batches — the end-to-end numerics check on top of the
-per-component parity tests."""
+of the reference training semantics with identical weights and batches —
+the end-to-end numerics check on top of the per-component parity tests,
+and the strongest available substitute for unreproducible BLEU tables.
+
+Covered lockstep (8 steps each):
+  * pooled GRU + SGD/momentum      (reference main.py:96-98,136-152)
+  * pooled GRU + Adam              (main.py:99-100)
+  * pooled LSTM + Adam             (LSTM/main_lstm.py:100-139)
+  * attention GRU + SGD            (Attention/main_attn.py:103-146:
+                                    alpha_c penalty, init_h gradients,
+                                    shrinking-batch loop)
+  * attention LSTM + Adam          (main_attn_LSTM.py: + init_c gradients)
+"""
 
 import numpy as np
 import pytest
@@ -11,36 +21,45 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
-from show_tell_tpu.models.captioner import CaptionerConfig
-from show_tell_tpu.models.convert import decoder_params_from_torch
-from show_tell_tpu.models.encoder import EncoderConfig, encoder_params_from_torch
+from show_tell_tpu.models.captioner import CaptionerConfig, split_trainable
+from show_tell_tpu.models.convert import (
+    attn_decoder_params_from_torch,
+    decoder_params_from_torch,
+)
+from show_tell_tpu.models.encoder import encoder_params_from_torch
 from show_tell_tpu.train.optim import make_optimizer
 from show_tell_tpu.train.train_step import TrainState, make_train_step
-from show_tell_tpu.models.captioner import split_trainable
 
 from torch_resnet_oracle import TorchResNet
 
 B, T, E, H, V, L = 6, 10, 12, 16, 30, 2
+A = 14  # attention dim
+C = 512  # resnet18 feature channels
 IMG = 64
-STEPS = 4
-LR, MOMENTUM = 0.05, 0.9
+STEPS = 8
+MOMENTUM = 0.9
 
 
-def build_torch_models():
-    torch.manual_seed(0)
+def _lr(opt_type):
+    return 0.05 if opt_type == "SGD" else 0.01
+
+
+def make_torch_optimizer(opt_type, params_list, lr):
+    if opt_type == "SGD":
+        return torch.optim.SGD(params_list, lr=lr, momentum=MOMENTUM)
+    return torch.optim.Adam(params_list, lr=lr)
+
+
+def build_torch_encoder():
     backbone = TorchResNet(18)
-    lin = torch.nn.Linear(512, E)
+    lin = torch.nn.Linear(C, E)
     lin.weight.data.normal_(0, 0.05)
     bn = torch.nn.BatchNorm1d(E, momentum=0.01)
     bn.bias.data.fill_(0)
-
-    emb = torch.nn.Embedding(V, E)
-    unit = torch.nn.GRU(E, H, L, batch_first=True)
-    out = torch.nn.Linear(H, V)
-    return backbone, lin, bn, emb, unit, out
+    return backbone, lin, bn
 
 
-def to_jax_state(backbone, lin, bn, emb, unit, out):
+def encoder_sd(backbone, lin, bn):
     idx_map = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5", "layer3": "6", "layer4": "7"}
     enc_sd = {}
     for k, v in backbone.state_dict().items():
@@ -52,27 +71,70 @@ def to_jax_state(backbone, lin, bn, emb, unit, out):
         enc_sd["linear_secondlast_layer." + k] = v
     for k, v in bn.state_dict().items():
         enc_sd["last_layer." + k] = v
-    dec_sd = {"embeddings.weight": emb.weight}
-    for k, v in unit.state_dict().items():
-        dec_sd["unit." + k] = v
-    dec_sd["linear.weight"], dec_sd["linear.bias"] = out.weight, out.bias
-
-    cfg = CaptionerConfig("gru", 18, E, H, V, L)
-    enc_params, enc_state = encoder_params_from_torch(enc_sd, cfg.encoder_config())
-    dec_params = decoder_params_from_torch(dec_sd, L)
-    return cfg, {"encoder": enc_params, "decoder": dec_params}, enc_state
+    return enc_sd
 
 
-def torch_reference_steps(backbone, lin, bn, emb, unit, out, batches):
+def make_batches(rng, steps=STEPS, full_first=False):
+    batches = []
+    for _ in range(steps):
+        images_u8 = rng.randint(0, 255, (B, IMG, IMG, 3), dtype=np.uint8)
+        lengths = np.sort(rng.randint(3, T + 1, B))[::-1].astype(np.int32)
+        if full_first:
+            # Attention re-enactment: keep batch_size_t >= 1 at every step
+            # of the reference's shrinking-batch loop (T == batch max there).
+            lengths[0] = T
+        captions = rng.randint(4, V, (B, T)).astype(np.int32)
+        for i, l in enumerate(lengths):
+            captions[i, l:] = 0
+        batches.append((images_u8, captions, np.ascontiguousarray(lengths)))
+    return batches
+
+
+def normalize(u8):
+    from show_tell_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    return ((u8.astype(np.float32) / 255.0) - np.array(IMAGENET_MEAN, np.float32)) / np.array(
+        IMAGENET_STD, np.float32
+    )
+
+
+def run_our_steps(cfg, params, enc_state, opt_type, batches):
+    optimizer = make_optimizer(opt_type, _lr(opt_type), MOMENTUM)
+    trainable, frozen = split_trainable(params)
+    ts = TrainState(
+        trainable, frozen, enc_state, optimizer.init(trainable), jax.random.PRNGKey(0), jnp.int32(0)
+    )
+    step = make_train_step(cfg, optimizer, augment=False)
+    losses = []
+    for images_u8, captions, lengths in batches:
+        ts, loss = step(ts, images_u8, jnp.asarray(captions), jnp.asarray(lengths))
+        losses.append(float(loss))
+    return losses
+
+
+# ----------------------- pooled variants (GRU/LSTM) -------------------- #
+
+
+def build_torch_pooled(cell):
+    torch.manual_seed(0)
+    backbone, lin, bn = build_torch_encoder()
+    emb = torch.nn.Embedding(V, E)
+    unit_cls = torch.nn.GRU if cell == "gru" else torch.nn.LSTM
+    unit = unit_cls(E, H, L, batch_first=True)
+    out = torch.nn.Linear(H, V)
+    return backbone, lin, bn, emb, unit, out
+
+
+def torch_pooled_steps(backbone, lin, bn, emb, unit, out, opt_type, batches):
     """Reference training semantics: frozen detached backbone in train
-    mode, packed CE over prepended-feature GRU outputs, SGD+momentum over
-    decoder + head (main.py:96-98,136-152)."""
+    mode, packed CE over prepended-feature RNN outputs, SGD/Adam over
+    decoder + head (main.py:96-102,136-152)."""
     backbone.train(), lin.train(), bn.train(), emb.train(), unit.train(), out.train()
     trainable = (
         list(emb.parameters()) + list(unit.parameters()) + list(out.parameters())
         + list(lin.parameters()) + list(bn.parameters())
     )
-    optim = torch.optim.SGD(trainable, lr=LR, momentum=MOMENTUM)
+    optim = make_torch_optimizer(opt_type, trainable, _lr(opt_type))
     loss_fn = torch.nn.CrossEntropyLoss()
     losses = []
     for images, captions, lengths in batches:
@@ -94,45 +156,146 @@ def torch_reference_steps(backbone, lin, bn, emb, unit, out, batches):
     return losses
 
 
-def test_lockstep_losses_match():
-    backbone, lin, bn, emb, unit, out = build_torch_models()
-    cfg, params, enc_state = to_jax_state(backbone, lin, bn, emb, unit, out)
+@pytest.mark.parametrize(
+    "cell,opt_type",
+    [("gru", "SGD"), ("gru", "Adam"), ("lstm", "Adam")],
+)
+def test_pooled_lockstep_losses_match(cell, opt_type):
+    backbone, lin, bn, emb, unit, out = build_torch_pooled(cell)
 
-    rng = np.random.RandomState(0)
-    batches = []
-    for _ in range(STEPS):
-        # float images in [0,1]-ish via uint8 -> the SAME normalized pixels
-        # feed both sides: our step preprocesses uint8 on device
-        # (augment off), torch gets the identical normalized tensor.
-        images_u8 = rng.randint(0, 255, (B, IMG, IMG, 3), dtype=np.uint8)
-        lengths = np.sort(rng.randint(3, T + 1, B))[::-1].astype(np.int32)
-        captions = rng.randint(4, V, (B, T)).astype(np.int32)
-        for i, l in enumerate(lengths):
-            captions[i, l:] = 0
-        batches.append((images_u8, captions, np.ascontiguousarray(lengths)))
+    enc_sd = encoder_sd(backbone, lin, bn)
+    dec_sd = {"embeddings.weight": emb.weight}
+    for k, v in unit.state_dict().items():
+        dec_sd["unit." + k] = v
+    dec_sd["linear.weight"], dec_sd["linear.bias"] = out.weight, out.bias
 
-    from show_tell_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    cfg = CaptionerConfig(cell, 18, E, H, V, L)
+    enc_params, enc_state = encoder_params_from_torch(enc_sd, cfg.encoder_config())
+    params = {"encoder": enc_params, "decoder": decoder_params_from_torch(dec_sd, L)}
 
-    def normalize(u8):
-        return ((u8.astype(np.float32) / 255.0) - np.array(IMAGENET_MEAN, np.float32)) / np.array(
-            IMAGENET_STD, np.float32
-        )
-
-    ref_losses = torch_reference_steps(
-        backbone, lin, bn, emb, unit, out,
+    batches = make_batches(np.random.RandomState(0))
+    ref_losses = torch_pooled_steps(
+        backbone, lin, bn, emb, unit, out, opt_type,
         [(normalize(im), cap, lens) for im, cap, lens in batches],
     )
+    our_losses = run_our_steps(cfg, params, enc_state, opt_type, batches)
 
-    optimizer = make_optimizer("SGD", LR, MOMENTUM)
-    trainable, frozen = split_trainable(params)
-    ts = TrainState(trainable, frozen, enc_state, optimizer.init(trainable), jax.random.PRNGKey(0), jnp.int32(0))
-    step = make_train_step(cfg, optimizer, augment=False)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=1e-3)
+    assert our_losses[-1] != our_losses[0]  # optimizer steps took effect
 
-    our_losses = []
-    for images_u8, captions, lengths in batches:
-        ts, loss = step(ts, images_u8, jnp.asarray(captions), jnp.asarray(lengths))
-        our_losses.append(float(loss))
 
-    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=5e-4)
-    # Losses should actually move (optimizer steps took effect).
+# --------------------- attention variants (GRU/LSTM) ------------------- #
+
+
+class TorchAttnModel(torch.nn.Module):
+    """Reference RNN_Attn parameterization (Attention/rnn_attn{,_LSTM}.py)."""
+
+    def __init__(self, cell):
+        super().__init__()
+        self.embeddings = torch.nn.Embedding(V, E)
+        unit_cls = torch.nn.GRU if cell == "gru" else torch.nn.LSTM
+        self.unit = unit_cls(2 * E, H, L, batch_first=True)
+        self.linear = torch.nn.Linear(H, V)
+        self.init_h = torch.nn.Linear(C, H)
+        if cell == "lstm":
+            self.init_c = torch.nn.Linear(C, H)
+        self.embed = torch.nn.Linear(C, E)
+
+        class Attn(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoder_att = torch.nn.Linear(C, A)
+                self.decoder_att = torch.nn.Linear(H, A)
+                self.full_att = torch.nn.Linear(A, 1)
+
+            def forward(self, img_feat, hidden_state):
+                a1 = self.encoder_att(img_feat)
+                a2 = self.decoder_att(hidden_state)
+                e = self.full_att(torch.nn.functional.leaky_relu(a1 + a2.unsqueeze(1), 0.2)).squeeze(2)
+                alpha = torch.softmax(e, dim=1)
+                ctx = (img_feat * alpha.unsqueeze(2)).sum(dim=1)
+                return ctx, alpha
+
+        self.attn = Attn()
+
+
+def torch_attention_steps(backbone, lin, bn, model, cell, opt_type, alpha_c, batches):
+    """Reference attention training re-enactment (main_attn.py:103-146 +
+    rnn_attn.py:60-76): detached spatial features, shrinking-batch time
+    loop (hidden rows of finished sequences dropped), packed CE + the
+    doubly-stochastic alpha penalty, dead encoder head registered in the
+    optimizer but unused in forward (cnn_attn.py:50, main_attn.py:90)."""
+    backbone.train(), model.train(), lin.train(), bn.train()
+    trainable = list(model.parameters()) + list(lin.parameters()) + list(bn.parameters())
+    optim = make_torch_optimizer(opt_type, trainable, _lr(opt_type))
+    loss_fn = torch.nn.CrossEntropyLoss()
+    losses = []
+    for images, captions, lengths in batches:
+        xt = torch.from_numpy(np.transpose(images, (0, 3, 1, 2)).copy())
+        with torch.no_grad():
+            fmap = backbone.features(xt)  # train-mode BN drift, detached
+        feats = fmap.reshape(B, C, -1)  # [B, C, P] row-major (cnn_attn.py:49)
+        P = feats.shape[2]
+        cap_t = torch.from_numpy(captions.astype(np.int64))
+        emb = model.embeddings(cap_t)
+        hidden = model.init_h(feats.mean(dim=2)).unsqueeze(1).repeat(1, L, 1)
+        if cell == "lstm":
+            cstate = model.init_c(feats.mean(dim=2)).unsqueeze(1).repeat(1, L, 1)
+        preds = torch.zeros(B, T, V)
+        alphas = torch.zeros(B, T, P)
+        for t in range(T):
+            bt = int((lengths > t).sum())
+            ctx, alpha = model.attn(feats[:bt].transpose(1, 2), hidden[:bt, -1, :])
+            x = torch.cat([emb[:bt, t], model.embed(ctx)], dim=1).unsqueeze(1)
+            if cell == "gru":
+                out, h2 = model.unit(x, hidden[:bt].transpose(0, 1).contiguous())
+                hidden = h2.transpose(0, 1)  # shrinks, like the reference
+            else:
+                out, (h2, c2) = model.unit(
+                    x,
+                    (hidden[:bt].transpose(0, 1).contiguous(), cstate[:bt].transpose(0, 1).contiguous()),
+                )
+                hidden = h2.transpose(0, 1)
+                cstate = c2.transpose(0, 1)
+            preds_t = model.linear(out.squeeze(1))
+            preds = preds.clone()
+            alphas = alphas.clone()
+            preds[:bt, t] = preds_t
+            alphas[:bt, t] = alpha
+        packed_preds = torch.nn.utils.rnn.pack_padded_sequence(preds, list(lengths), batch_first=True)[0]
+        targets = torch.nn.utils.rnn.pack_padded_sequence(cap_t, list(lengths), batch_first=True)[0]
+        loss = loss_fn(packed_preds, targets)
+        loss = loss + alpha_c * ((1.0 - alphas.sum(dim=1)) ** 2).mean()
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        losses.append(float(loss))
+    return losses
+
+
+@pytest.mark.parametrize(
+    "cell,opt_type",
+    [("gru", "SGD"), ("lstm", "Adam")],
+)
+def test_attention_lockstep_losses_match(cell, opt_type):
+    torch.manual_seed(1)
+    backbone, lin, bn = build_torch_encoder()
+    model = TorchAttnModel(cell)
+    alpha_c = 1.0
+
+    variant = "attn" if cell == "gru" else "attn_lstm"
+    cfg = CaptionerConfig(
+        variant, 18, E, H, V, L, nos_filters=C, attn_dim=A, alpha_c=alpha_c
+    )
+    enc_params, enc_state = encoder_params_from_torch(encoder_sd(backbone, lin, bn), cfg.encoder_config())
+    params = {"encoder": enc_params, "decoder": attn_decoder_params_from_torch(model.state_dict(), L)}
+
+    batches = make_batches(np.random.RandomState(3), full_first=True)
+    ref_losses = torch_attention_steps(
+        backbone, lin, bn, model, cell, opt_type, alpha_c,
+        [(normalize(im), cap, lens) for im, cap, lens in batches],
+    )
+    our_losses = run_our_steps(cfg, params, enc_state, opt_type, batches)
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=1e-3)
     assert our_losses[-1] != our_losses[0]
