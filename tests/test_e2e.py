@@ -203,3 +203,19 @@ def test_faithful_beam_loss_matches_greedy_eval(trained):
     np.testing.assert_allclose(
         res_f["scores"]["test_loss"], res_g["scores"]["test_loss"], rtol=1e-6
     )
+
+
+def test_bf16_serving_quality_pinned(trained):
+    """bf16 is the serving/bench dtype (docs/ARCHITECTURE.md dtype policy)
+    — pin its decode quality against f32 on the fixture instead of
+    hand-waving: BLEU/CIDEr/loss deltas bounded, deterministic eval."""
+    data_root, out_dir, _ = trained
+    base = ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1",
+            "--eval_augment", "0"]
+    res32 = run("gru", _argv(data_root, out_dir, base))
+    res16 = run("gru", _argv(data_root, out_dir, base + ["--compute_dtype", "bfloat16"]))
+    for k in ("Bleu_1", "Bleu_4", "CIDEr", "ROUGE_L"):
+        assert abs(res16["scores"][k] - res32["scores"][k]) <= 0.05, (
+            k, res16["scores"][k], res32["scores"][k]
+        )
+    assert abs(res16["scores"]["test_loss"] - res32["scores"]["test_loss"]) <= 0.05
