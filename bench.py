@@ -126,16 +126,22 @@ def main(variant: str = "gru", batch_default: int = 512):
     metric = "captions_per_sec_per_chip_greedy"
     if variant != "gru":
         metric += "_" + variant
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(cps, 2),
-                "unit": "captions/s/chip",
-                "vs_baseline": round(cps / 1250.0, 3),
-            }
-        )
-    )
+    # Analytic-FLOPs MFU vs the v5e bf16 peak (197 TFLOP/s).  Encoder:
+    # ResNet-101@224 = 7.80 GMACs/image (torchvision-reported madds).
+    # Decoder step: 5-layer GRU-512 (layer0 in-dim 256) + vocab proj.
+    E, H, V_, L_STEPS = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size, cfg.max_caption_length
+    gru_step_macs = 3 * (E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
+    flops_per_img = 2 * (7.80e9 + gru_step_macs * L_STEPS)
+    mfu = flops_per_img * batch / (dt / iters) / 197e12
+    line = {
+        "metric": metric,
+        "value": round(cps, 2),
+        "unit": "captions/s/chip",
+        "vs_baseline": round(cps / 1250.0, 3),
+    }
+    if variant == "gru":  # analytic decoder FLOPs modeled for GRU only
+        line["mfu"] = round(mfu, 3)
+    print(json.dumps(line))
 
 
 def bench_latency(batch: int = 8):
@@ -184,6 +190,106 @@ def bench_latency(batch: int = 8):
     )
 
 
+def bench_input(batch: int = 64, n_images: int = 512):
+    """`python bench.py --input [B]`: host input pipeline end-to-end —
+    JPEG bytes on disk -> native threaded decode+resize -> uint8 H2D ->
+    preprocess+encode+greedy decode on chip -> caption ids (SURVEY.md §7
+    "input pipeline throughput").
+
+    On this sandbox the host has ONE core: the C++ decoder measures
+    ~180 COCO-sized img/s/core (thread-scalable by design, nothing to
+    scale onto here), so end-to-end is host-bound far below the chip's
+    ~7.3k cap/s.  The JSON line carries both numbers so the host-core
+    requirement for chip saturation is explicit.
+    """
+    import io
+    import json as _json
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_greedy_decode, init_captioner
+
+    root = tempfile.mkdtemp(prefix="bench_input_")
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    images_meta, anns = [], []
+    for i in range(n_images):
+        # Smooth gradient + noise: realistic JPEG entropy (pure noise
+        # decodes ~2x slower than photos; pure gradients ~2x faster).
+        yy, xx = np.mgrid[0:480, 0:640]
+        base = (yy[..., None] * 0.3 + xx[..., None] * 0.2 + np.array([i % 97, i % 53, i % 31]) * 2)
+        arr = (base % 256 + rng.randint(0, 60, (480, 640, 3))).astype(np.uint8)
+        fname = "img_%05d.jpg" % i
+        Image.fromarray(arr).save(os.path.join(img_dir, fname), quality=90)
+        images_meta.append({"id": i, "file_name": fname})
+        anns.append({"id": i, "image_id": i, "caption": "a synthetic benchmark image number %d" % i})
+    ann_path = os.path.join(root, "ann.json")
+    with open(ann_path, "w") as f:
+        _json.dump({"images": images_meta, "annotations": anns}, f)
+
+    class _V:  # minimal vocab: ids irrelevant to serving throughput
+        word_to_index = {"<pad>": 0, "<start>": 1, "<end>": 2, "<unk>": 3}
+
+        def __call__(self, w):
+            return self.word_to_index.get(w, 3)
+
+    ds = MSCOCO(ann_path, img_dir, _V(), train=False)
+    loader = DataLoader(ds, batch_size=batch, shuffle=False, drop_last=True, prefetch=2)
+
+    cfg = CaptionerConfig("gru", 101, 256, 512, 9956, 5)
+    params, state = init_captioner(jax.random.PRNGKey(0), cfg)
+    bf = jnp.bfloat16
+    params = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
+    state = jax.tree.map(lambda x: x.astype(bf), state)
+
+    @jax.jit
+    def serve(images_u8, key):
+        return captioner_greedy_decode(
+            params, state, cfg, preprocess_images(images_u8, key, augment=False, dtype=bf)
+        )
+
+    key = jax.random.PRNGKey(0)
+    warm = jnp.zeros((batch, 224, 224, 3), jnp.uint8)
+    for i in range(12):
+        serve(warm, jax.random.fold_in(key, i)).block_until_ready()
+
+    # Host-only pass (decode+collate, page-cached files).
+    t0 = time.perf_counter()
+    n_host = sum(b[1].shape[0] for b in loader)
+    host_rate = n_host / (time.perf_counter() - t0)
+
+    # End-to-end pass: loader -> H2D -> chip decode.
+    t0 = time.perf_counter()
+    n_e2e = 0
+    out = None
+    for i, (_, imgs, _, _) in enumerate(loader):
+        out = serve(jnp.asarray(imgs), jax.random.fold_in(key, 100 + i))
+        n_e2e += imgs.shape[0]
+    out.block_until_ready()
+    e2e_rate = n_e2e / (time.perf_counter() - t0)
+    loader.close()
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_jpeg_to_captions_per_sec",
+                "value": round(e2e_rate, 2),
+                "unit": "captions/s (1 host core)",
+                "vs_baseline": round(e2e_rate / 402.0, 3),  # ref train-side img/s as scale
+                "host_decode_imgs_per_sec": round(host_rate, 2),
+                "note": "host-bound: chip serves ~7.3k cap/s; decoder thread-scales ~180/s/core",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--train" in sys.argv:
         args = [a for a in sys.argv[1:] if a not in ("--train",)]
@@ -191,6 +297,9 @@ if __name__ == "__main__":
     elif "--latency" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--latency"]
         bench_latency(int(args[0]) if args else 8)
+    elif "--input" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--input"]
+        bench_input(int(args[0]) if args else 64)
     elif "--attn" in sys.argv:
         # Soft-attention GRU serving throughput (main_attn.py flagship).
         main(variant="attn", batch_default=256)

@@ -91,11 +91,16 @@ class MSCOCO:
         img = img.resize((IMAGE_SIZE, IMAGE_SIZE), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
 
-    def __getitem__(self, sample_idx: int) -> Tuple[str, np.ndarray, List[int]]:
+    def sample_meta(self, sample_idx: int) -> Tuple[str, List[int]]:
+        """(image file name, caption ids) without decoding the image."""
         ann = self.annotation_obj.anns[self.annotation_ids[sample_idx]]
         image_path = self.annotation_obj.loadImgs(ann["image_id"])[0]["file_name"]
+        return image_path, self.caption_ids(sample_idx)
+
+    def __getitem__(self, sample_idx: int) -> Tuple[str, np.ndarray, List[int]]:
+        image_path, caption = self.sample_meta(sample_idx)
         image = self._load_image(os.path.join(self.data_path, image_path))
-        return image_path, image, self.caption_ids(sample_idx)
+        return image_path, image, caption
 
 
 def create_batch(
@@ -175,8 +180,34 @@ class DataLoader:
         return [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
 
     def _load_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
-        samples = list(pool.map(self.dataset.__getitem__, idxs))
+        ds = self.dataset
+        if getattr(ds, "use_native_decode", False) and native_fastimage.is_available():
+            samples = self._load_batch_native(idxs, pool)
+        else:
+            samples = list(pool.map(ds.__getitem__, idxs))
         return create_batch(samples, self.pad_length)
+
+    def _load_batch_native(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
+        """Batch path through the native decoder: one GIL-free threaded
+        C++ call decodes+resizes the whole batch (native/fastimage.cpp
+        st_decode_resize_batch) instead of one Python->C round trip per
+        image; non-JPEG/corrupt files fall back to PIL individually."""
+        ds = self.dataset
+        metas = [ds.sample_meta(int(i)) for i in idxs]
+
+        def read(path: str) -> bytes:
+            with open(os.path.join(ds.data_path, path), "rb") as f:
+                return f.read()
+
+        bufs = list(pool.map(read, [m[0] for m in metas]))
+        images, statuses = native_fastimage.decode_resize_batch(
+            bufs, IMAGE_SIZE, IMAGE_SIZE, n_threads=self.num_workers
+        )
+        samples = []
+        for k, (path, caption) in enumerate(metas):
+            img = images[k] if statuses[k] == 0 else ds._load_image(os.path.join(ds.data_path, path))
+            samples.append((path, img, caption))
+        return samples
 
     def __iter__(self) -> Iterator[Tuple[Tuple[str, ...], np.ndarray, np.ndarray, np.ndarray]]:
         batches = self._batch_indices()

@@ -1,6 +1,7 @@
 """Native fastimage (C++ JPEG decode + resize) tests."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -82,3 +83,38 @@ def test_dataset_native_vs_pil_pixels(tmp_path):
     _, img_n, _ = ds_native[0]
     _, img_p, _ = ds_pil[0]
     assert np.abs(img_n.astype(int) - img_p.astype(int)).max() <= 1
+
+
+def test_loader_native_batch_path_matches_per_sample(tmp_path):
+    """DataLoader's batched native decode (one threaded C++ call per
+    batch) yields the same batches as the per-sample path, including the
+    PIL fallback for a corrupt file."""
+    from fixtures import build_mini_coco, mini_params
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.vocab import get_vocabulary
+
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"))
+    vocab = get_vocabulary("MSCOCO", params)
+
+    ds_native = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab, use_native_decode=True)
+    ds_pil = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab, use_native_decode=False)
+
+    # Corrupt one image on disk: the native batch path must fall back to
+    # PIL for that sample... but PIL can't read it either, so instead use
+    # a PNG (non-JPEG): native decode rejects it, PIL handles it.
+    meta_path, _ = ds_native.sample_meta(0)
+    from PIL import Image
+    full = os.path.join(params["data_path_train"], meta_path)
+    arr = np.asarray(Image.open(full).convert("RGB"))
+    png_bytes_path = full  # overwrite in place with PNG content
+    Image.fromarray(arr).save(png_bytes_path, format="PNG")
+
+    ln = DataLoader(ds_native, batch_size=4, shuffle=False)
+    lp = DataLoader(ds_pil, batch_size=4, shuffle=False)
+    for (pn, imn, capn, lenn), (pp, imp, capp, lenp) in zip(ln, lp):
+        assert pn == pp
+        np.testing.assert_array_equal(capn, capp)
+        np.testing.assert_array_equal(lenn, lenp)
+        assert np.abs(imn.astype(int) - imp.astype(int)).max() <= 1
+    ln.close(), lp.close()

@@ -113,5 +113,60 @@ def main():
     return 0 if ok else 1
 
 
+def bench_decode():
+    """`python tools/tpu_smoke.py --bench`: Pallas hybrid decode vs the
+    XLA scan at serving shapes (VERDICT r1 item 4).  Each timing is a
+    median of 5 reps x 5 iters after 12 warmups; run in a fresh process."""
+    import time
+
+    from show_tell_tpu.models.decoder import DecoderConfig, greedy_decode, init_decoder_params
+    from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
+    from show_tell_tpu.models.attention import (
+        AttnDecoderConfig,
+        attn_greedy_decode,
+        init_attn_decoder_params,
+    )
+    from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
+
+    bf = jnp.bfloat16
+    rng = np.random.RandomState(0)
+
+    def timeit(fn, *args):
+        for _ in range(12):
+            jax.block_until_ready(fn(*args))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            ts.append((time.perf_counter() - t0) / 5)
+        return sorted(ts)[2]
+
+    E, H, V, L = 256, 512, 9956, 5
+    print("GRU greedy decode, 25 steps, H=512 L=5 V=9956 bf16:")
+    for B in (256, 512):
+        cfg = DecoderConfig("gru", E, H, V, L)
+        params = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
+        feat = jnp.asarray(rng.randn(B, E).astype(np.float32)).astype(bf)
+        xla_fn = jax.jit(lambda f: greedy_decode(params, cfg, f))
+        pls_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False))
+        t_x, t_p = timeit(xla_fn, feat), timeit(pls_fn, feat)
+        print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
+
+    print("Attention GRU greedy decode, 25 steps, E=H=A=512 V=9956 bf16:")
+    for B in (256,):
+        acfg = AttnDecoderConfig("gru", 512, 2048, 512, 512, V, L)
+        ap = jax.tree.map(lambda a: a.astype(bf), init_attn_decoder_params(jax.random.PRNGKey(2), acfg))
+        feats = jnp.asarray(rng.randn(B, 2048, 49).astype(np.float32)).astype(bf)
+        xla_fn = jax.jit(lambda f: attn_greedy_decode(ap, acfg, f, 1))
+        pls_fn = jax.jit(lambda f: attn_greedy_decode_pallas(ap, acfg, f, 1, interpret=False))
+        t_x, t_p = timeit(xla_fn, feats), timeit(pls_fn, feats)
+        print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
+    return 0
+
+
 if __name__ == "__main__":
+    if "--bench" in sys.argv:
+        raise SystemExit(bench_decode())
     raise SystemExit(main())
