@@ -162,7 +162,7 @@ def build_arg_parser(
     # --- TPU-native extensions (not present in the reference CLI) ---
     add("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"], help="matmul/activation dtype on device (float32 for parity, bfloat16 for speed)")
     add("--dp", type=int, default=0, help="data-parallel mesh size; 0 = use all visible devices")
-    add("--use_pallas", type=int, default=0, help="use Pallas fused kernels for the decode hot loop where available")
+    add("--use_pallas", type=int, default=-1, help="Pallas fused decode kernels: -1 = measured auto (attention context kernel on TPU, XLA elsewhere), 0 = force off, 1 = force on")
     add("--faithful_beam", type=int, default=0, help="replicate the reference rnn.py beam-search quirks exactly (batch=1) instead of standard cumulative-logprob beam")
     add("--seed", type=int, default=1, help="global RNG seed (reference seeds torch/random with 1)")
     add("--max_caption_length", type=int, default=25, help="decode length cap (reference rnn.py:39)")

@@ -53,15 +53,16 @@ def make_test_step(
     cfg: CaptionerConfig,
     beam_size: int = 0,
     augment: bool = True,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
     compute_dtype=None,
     loss_only: bool = False,
 ):
     """Jitted (loss, decoded ids) for one batch; beam_size>0 uses the
     standard batched beam (non-attention decoders only, like the ref);
-    use_pallas routes greedy GRU decode through the fused Pallas kernel;
-    loss_only skips the decode (the faithful-beam path decodes separately
-    — don't compute a greedy decode that gets thrown away)."""
+    use_pallas: None = measured auto policy (Pallas context kernel for
+    attention decode on TPU), True/False force; loss_only skips the
+    decode (the faithful-beam path decodes separately — don't compute a
+    greedy decode that gets thrown away)."""
 
     dtype = compute_dtype or jnp.float32
 
@@ -80,20 +81,8 @@ def make_test_step(
                 )
             else:
                 ids = beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam_size)
-        elif use_pallas:
-            feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
-            if cfg.is_attention:
-                from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
-
-                ids = attn_greedy_decode_pallas(
-                    params["decoder"], cfg.decoder_config(), feats, cfg.start_token
-                )
-            else:
-                from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
-
-                ids = greedy_decode_pallas(params["decoder"], cfg.decoder_config(), feats)
         else:
-            ids = captioner_greedy_decode(params, bn_state, cfg, images)
+            ids = captioner_greedy_decode(params, bn_state, cfg, images, use_pallas=use_pallas)
         return loss, ids
 
     return run
@@ -139,7 +128,7 @@ def test_model(
         # The reference augments (random flips) at test time (utils.py:96);
         # --eval_augment 0 pins eval deterministic (SURVEY.md §7).
         augment=eval_augment,
-        use_pallas=bool(params.get("use_pallas")),
+        use_pallas=(lambda f: None if f == -1 else bool(f))(int(params.get("use_pallas", -1))),
         compute_dtype=eval_dtype,
         loss_only=use_faithful,
     )

@@ -150,11 +150,30 @@ def captioner_greedy_decode(
     state: Dict[str, Any],
     cfg: CaptionerConfig,
     images: jax.Array,
+    use_pallas: "bool | None" = None,
 ) -> jax.Array:
-    """Eval-mode encode + 25-step batched greedy decode -> [B, 25] ids."""
+    """Eval-mode encode + 25-step batched greedy decode -> [B, 25] ids.
+
+    use_pallas: None = measured auto policy (tools/tpu_smoke.py --bench,
+    v5e serving shapes): the fused Pallas context kernel wins 1.26-1.27x
+    for attention decode on TPU and is used there; the GRU/LSTM hybrid
+    kernel measures within pool noise of the XLA scan and stays off.
+    True/False force the choice (--use_pallas 1/0)."""
     feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
     if cfg.is_attention:
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
+
+            return attn_greedy_decode_pallas(
+                params["decoder"], cfg.decoder_config(), feats, cfg.start_token
+            )
         return attn_mod.attn_greedy_decode(params["decoder"], cfg.decoder_config(), feats, cfg.start_token)
+    if use_pallas:
+        from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
+
+        return greedy_decode_pallas(params["decoder"], cfg.decoder_config(), feats)
     return dec_mod.greedy_decode(params["decoder"], cfg.decoder_config(), feats)
 
 
