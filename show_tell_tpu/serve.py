@@ -42,10 +42,16 @@ class Captioner:
         vocab,
         compute_dtype: str = "bfloat16",
         dp: int = 1,
+        mp: int = 1,
     ):
-        """dp > 1 shards serving batches over a dp-device mesh (params
-        replicated; the batch axis splits, XLA runs each shard's decode
-        on its chip — the v5e-8 serving scale-out path)."""
+        """dp > 1 shards serving batches over the mesh's dp axis (the
+        v5e-8 scale-out path; params replicated along dp).  mp > 1
+        additionally tensor-shards the decoder's vocab-sized tensors
+        (output projection, embedding) along the mp axis — GSPMD turns
+        the per-step softmax/argmax and embedding gathers into ICI
+        collectives (same rule as training, parallel/mesh.py).  Verified
+        bit-equal to single-device decode on the virtual mesh
+        (tests/test_serve.py)."""
         self.cfg = cfg
         self.vocab = vocab
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
@@ -54,11 +60,32 @@ class Captioner:
         self.params = cast(params)
         self.bn_state = cast(bn_state)
         self.mesh = None
-        if dp > 1:
-            from show_tell_tpu.parallel.mesh import make_mesh, replicate
+        if dp > 1 or mp > 1:
+            from show_tell_tpu.parallel.mesh import (
+                decoder_param_shardings,
+                make_mesh,
+                replicate,
+            )
 
-            self.mesh = make_mesh(dp=dp)
-            self.params = replicate(self.mesh, self.params)
+            self.mesh = make_mesh(dp=dp, mp=mp)
+            if mp > 1:
+                pad = (-cfg.vocab_size) % mp
+                if pad:  # vocab not divisible by mp: pad with -inf logits
+                    # (never argmax-selected; embedding pad rows never
+                    # gathered) — decode output is exactly unchanged.
+                    dec = dict(self.params["decoder"])
+                    dec["embedding"] = jnp.pad(dec["embedding"], ((0, pad), (0, 0)))
+                    lin = dict(dec["linear"])
+                    lin["w"] = jnp.pad(lin["w"], ((0, 0), (0, pad)))
+                    lin["b"] = jnp.concatenate(
+                        [lin["b"], jnp.full((pad,), -1e9, lin["b"].dtype)]
+                    )
+                    dec["linear"] = lin
+                    self.params = {**self.params, "decoder": dec}
+                shardings = decoder_param_shardings(self.mesh, self.params)
+                self.params = jax.tree.map(jax.device_put, self.params, shardings)
+            else:
+                self.params = replicate(self.mesh, self.params)
             self.bn_state = replicate(self.mesh, self.bn_state)
         self._jitted: Dict[int, Any] = {}
 
@@ -75,6 +102,8 @@ class Captioner:
         hidden_dim: int = 512,
         num_layers: int = 5,
         compute_dtype: str = "bfloat16",
+        dp: int = 1,
+        mp: int = 1,
         **cfg_kw,
     ) -> "Captioner":
         """Load either our pickle checkpoint or a reference torch .ckpt."""
@@ -91,7 +120,7 @@ class Captioner:
             **cfg_kw,
         )
         params, bn_state = cls._load_any_checkpoint(ckpt_path, cfg)
-        return cls(params, bn_state, cfg, vocab, compute_dtype)
+        return cls(params, bn_state, cfg, vocab, compute_dtype, dp=dp, mp=mp)
 
     @staticmethod
     def _load_any_checkpoint(ckpt_path: str, cfg: CaptionerConfig):

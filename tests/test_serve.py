@@ -114,6 +114,33 @@ def test_captioner_dp_serving_matches_single_device(trained):
     assert got == ref
 
 
+def test_captioner_dp_mp_serving_matches_single_device(trained):
+    """dp=4 x mp=2 (vocab-sharded projection + embedding) serving must
+    produce the same captions as single-device — the TP serving path."""
+    data_root, out_dir = trained
+    assert len(jax.devices()) >= 8
+    kw = dict(
+        variant="gru", resnet_version=18, embed_dim=16, hidden_dim=24,
+        num_layers=1, compute_dtype="float32",
+    )
+    ckpt = os.path.join(out_dir, "model_1.ckpt")
+    vocab = os.path.join(out_dir, "vocab.pkl")
+    single = Captioner.from_checkpoint(ckpt, vocab, **kw)
+    images = np.random.RandomState(2).randint(0, 255, (8, 224, 224, 3), dtype=np.uint8)
+    ref = single.caption(images)
+
+    tp_cap = Captioner.from_checkpoint(ckpt, vocab, dp=4, mp=2, **kw)
+    # vocab-sized tensors actually sharded over mp
+    lin_sh = tp_cap.params["decoder"]["linear"]["w"].sharding
+    assert lin_sh.spec == jax.sharding.PartitionSpec(None, "mp"), lin_sh
+    emb_sh = tp_cap.params["decoder"]["embedding"].sharding
+    assert emb_sh.spec == jax.sharding.PartitionSpec("mp", None), emb_sh
+    got = tp_cap.caption(images)
+    assert got == ref
+    # beam search over the sharded logits too
+    assert tp_cap.caption(images, beam_size=2) == single.caption(images, beam_size=2)
+
+
 def test_captioner_from_torch_checkpoint(tmp_path):
     """Captioner loads a reference-format torch checkpoint directly."""
     torch = pytest.importorskip("torch")
