@@ -57,6 +57,14 @@ def bench_train(batch: int = 128):
         ts, loss = step(ts, images, captions, lengths)
     jax.block_until_ready(loss)
     sps = batch * iters / (time.perf_counter() - t0)
+    # Analytic MFU vs the v5e bf16 peak: frozen encoder fwd only
+    # (backbone takes no backward, cnn.py:47) + decoder fwd+bwd (3x fwd
+    # matmul FLOPs) over the padded T steps.  Matmuls under jax default
+    # precision run bf16-pass on TPU even for f32 arrays.
+    E, H, V_ = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
+    step_macs = 3 * (E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
+    flops_per_sample = 2 * 7.80e9 + 3 * 2 * step_macs * T
+    mfu = flops_per_sample * sps / 197e12
     print(
         json.dumps(
             {
@@ -64,6 +72,7 @@ def bench_train(batch: int = 128):
                 "value": round(sps, 2),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(sps / 402.0, 3),
+                "mfu": round(mfu, 3),
             }
         )
     )
