@@ -21,6 +21,37 @@ import time
 import numpy as np
 
 
+def _flagship_serve(batch: int, warmup: int = 12):
+    """Shared setup for the serving benches: flagship GRU config in bf16,
+    jitted uint8->caption-ids fn, warmed up (first ~10 executions through
+    the axon tunnel run slower than steady state)."""
+    import jax
+    import jax.numpy as jnp
+
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_greedy_decode, init_captioner
+
+    cfg = CaptionerConfig(
+        variant="gru", resnet_version=101, embed_dim=256, hidden_dim=512, vocab_size=9956, num_layers=5
+    )
+    params, state = init_captioner(jax.random.PRNGKey(0), cfg)
+    bf = jnp.bfloat16
+    params = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
+    state = jax.tree.map(lambda x: x.astype(bf), state)
+
+    @jax.jit
+    def serve(images_u8, key):
+        return captioner_greedy_decode(
+            params, state, cfg, preprocess_images(images_u8, key, augment=False, dtype=bf)
+        )
+
+    key = jax.random.PRNGKey(0)
+    warm = jnp.zeros((batch, 224, 224, 3), jnp.uint8)
+    for i in range(warmup):
+        serve(warm, jax.random.fold_in(key, i)).block_until_ready()
+    return cfg, serve, key
+
+
 def bench_train(batch: int = 128):
     """Secondary mode (`python bench.py --train [B]`): full train-step
     throughput in f32 (parity dtype).  Reference baseline: ~402 samples/s
@@ -159,28 +190,9 @@ def bench_latency(batch: int = 8):
     import jax
     import jax.numpy as jnp
 
-    from show_tell_tpu.data.transforms import preprocess_images
-    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_greedy_decode, init_captioner
-
-    cfg = CaptionerConfig(
-        variant="gru", resnet_version=101, embed_dim=256, hidden_dim=512, vocab_size=9956, num_layers=5
-    )
-    params, state = init_captioner(jax.random.PRNGKey(0), cfg)
-    bf = jnp.bfloat16
-    params = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
-    state = jax.tree.map(lambda x: x.astype(bf), state)
-
-    @jax.jit
-    def serve(images_u8, key):
-        return captioner_greedy_decode(
-            params, state, cfg, preprocess_images(images_u8, key, augment=False, dtype=bf)
-        )
-
+    cfg, serve, key = _flagship_serve(batch, warmup=15)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
-    key = jax.random.PRNGKey(0)
-    for i in range(15):
-        serve(images, jax.random.fold_in(key, i)).block_until_ready()
     lats = []
     for i in range(30):
         t0 = time.perf_counter()
@@ -211,7 +223,6 @@ def bench_input(batch: int = 64, n_images: int = 512):
     ~7.3k cap/s.  The JSON line carries both numbers so the host-core
     requirement for chip saturation is explicit.
     """
-    import io
     import json as _json
     import os
     import tempfile
@@ -221,9 +232,8 @@ def bench_input(batch: int = 64, n_images: int = 512):
     from PIL import Image
 
     from show_tell_tpu.data.dataset import MSCOCO, DataLoader
-    from show_tell_tpu.data.transforms import preprocess_images
-    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_greedy_decode, init_captioner
 
+    batch = max(1, min(batch, n_images))
     root = tempfile.mkdtemp(prefix="bench_input_")
     img_dir = os.path.join(root, "imgs")
     os.makedirs(img_dir)
@@ -252,22 +262,7 @@ def bench_input(batch: int = 64, n_images: int = 512):
     ds = MSCOCO(ann_path, img_dir, _V(), train=False)
     loader = DataLoader(ds, batch_size=batch, shuffle=False, drop_last=True, prefetch=2)
 
-    cfg = CaptionerConfig("gru", 101, 256, 512, 9956, 5)
-    params, state = init_captioner(jax.random.PRNGKey(0), cfg)
-    bf = jnp.bfloat16
-    params = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
-    state = jax.tree.map(lambda x: x.astype(bf), state)
-
-    @jax.jit
-    def serve(images_u8, key):
-        return captioner_greedy_decode(
-            params, state, cfg, preprocess_images(images_u8, key, augment=False, dtype=bf)
-        )
-
-    key = jax.random.PRNGKey(0)
-    warm = jnp.zeros((batch, 224, 224, 3), jnp.uint8)
-    for i in range(12):
-        serve(warm, jax.random.fold_in(key, i)).block_until_ready()
+    _, serve, key = _flagship_serve(batch)
 
     # Host-only pass (decode+collate, page-cached files).
     t0 = time.perf_counter()

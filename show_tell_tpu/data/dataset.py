@@ -152,10 +152,17 @@ class DataLoader:
         # One decode pool per loader, shared across epochs (__iter__ calls);
         # long in-process sweeps must not accumulate thread pools.
         self._pool: Optional[ThreadPoolExecutor] = None
+        # All live producer threads (one per active iterator; pruned as
+        # they finish).  `_producer` keeps the most recent for tests.
+        self._producers: List[threading.Thread] = []
         self._producer: Optional[threading.Thread] = None
 
     def close(self) -> None:
-        """Release the decode pool (idempotent; loader stays reusable)."""
+        """Join outstanding producers and release the decode pool
+        (idempotent; loader stays reusable)."""
+        for t in self._producers:
+            t.join(timeout=5.0)
+        self._producers = [t for t in self._producers if t.is_alive()]
         if self._pool is not None:
             self._pool.shutdown(wait=True)
             self._pool = None
@@ -238,6 +245,8 @@ class DataLoader:
                 put_or_stop(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
+        self._producers = [p for p in self._producers if p.is_alive()]
+        self._producers.append(t)
         self._producer = t
         t.start()
         try:

@@ -61,8 +61,10 @@ def make_test_step(
     standard batched beam (non-attention decoders only, like the ref);
     use_pallas: None = measured auto policy (Pallas context kernel for
     attention decode on TPU), True/False force; loss_only skips the
-    decode (the faithful-beam path decodes separately — don't compute a
-    greedy decode that gets thrown away)."""
+    decode and returns the encoder features in the ids slot instead (the
+    faithful-beam path decodes host-side from those feats — XLA CSEs
+    this encoder_forward with the one inside captioner_loss, so the
+    batch pays for ONE ResNet forward)."""
 
     dtype = compute_dtype or jnp.float32
 
@@ -72,7 +74,7 @@ def make_test_step(
         params = merge_params(trainable, frozen)
         loss, _ = captioner_loss(params, bn_state, cfg, images, captions, lengths, training=False)
         if loss_only:
-            ids = jnp.zeros((images.shape[0], 0), dtype=jnp.int32)
+            ids, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
         elif beam_size > 0:
             feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
             if cfg.is_attention:  # framework extension: ref is greedy-only here
@@ -132,16 +134,6 @@ def test_model(
         compute_dtype=eval_dtype,
         loss_only=use_faithful,
     )
-    if use_faithful:
-        # Same augment flag + same per-batch key as the jitted loss step,
-        # so the teacher-forced loss and the beam decode see one flip draw.
-        @jax.jit
-        def faithful_feats_fn(trainable, frozen, bn_state, images_u8, key):
-            images = preprocess_images(images_u8, key, augment=eval_augment, dtype=eval_dtype)
-            full = merge_params(trainable, frozen)
-            feats, _ = encoder_forward(full["encoder"], bn_state, cfg.encoder_config(), images, training=False)
-            return feats
-
     key = jax.random.PRNGKey(seed)
 
     start_time = time.time()
@@ -155,11 +147,10 @@ def test_model(
             train_state.trainable, train_state.frozen, train_state.bn_state, images, captions, lengths, sub
         )
         if use_faithful:
-            feats = faithful_feats_fn(
-                train_state.trainable, train_state.frozen, train_state.bn_state, images, sub
-            )
+            # loss_only step returned the encoder feats in the ids slot
+            # (same flip draw as the loss; one ResNet forward per batch).
             full = merge_params(train_state.trainable, train_state.frozen)
-            ids = faithful_beam_decode(full["decoder"], cfg.decoder_config(), feats, beam_size)[None, :]
+            ids = faithful_beam_decode(full["decoder"], cfg.decoder_config(), ids, beam_size)[None, :]
         test_loss.append(float(loss))
 
         predicted_words = create_caption_word_format(np.asarray(ids), vocab, False)

@@ -156,13 +156,16 @@ def captioner_greedy_decode(
 
     use_pallas: None = measured auto policy (tools/tpu_smoke.py --bench,
     v5e serving shapes): the fused Pallas context kernel wins 1.26-1.27x
-    for attention decode on TPU and is used there; the GRU/LSTM hybrid
-    kernel measures within pool noise of the XLA scan and stays off.
-    True/False force the choice (--use_pallas 1/0)."""
+    for attention decode on a single TPU chip and is used there; the
+    GRU/LSTM hybrid kernel measures within pool noise of the XLA scan
+    and stays off.  Auto stays on XLA under multi-device meshes — GSPMD
+    has no partitioning rule for the Mosaic custom call, so sharded
+    decode must not route through it implicitly.  True/False force the
+    choice (--use_pallas 1/0)."""
     feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
     if cfg.is_attention:
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
         if use_pallas:
             from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
 
