@@ -87,20 +87,51 @@ def greedy_decode(
     params: Dict[str, Any],
     cfg: DecoderConfig,
     cnn_feature: jax.Array,  # [B, E]
+    end_token: "int | None" = None,
 ) -> jax.Array:
-    """Batched greedy decode, 25 fixed steps (reference rnn.py:44-58)."""
+    """Batched greedy decode, 25 fixed steps (reference rnn.py:44-58).
+
+    end_token (serving extension, off by default): stop as soon as every
+    sequence has emitted <end> (`lax.while_loop` instead of the fixed
+    scan).  Positions after a sequence's first <end> are <pad> instead of
+    the reference's dont-care argmax continuations — downstream caption
+    formatting truncates at <end>, so caption OUTPUT is identical while a
+    trained model (mean caption ~12 tokens) skips ~half the steps.
+    """
     B = cnn_feature.shape[0]
+    T = cfg.max_caption_length
     step_fn = stack_step(cfg.cell_type)
     dtype = params["embedding"].dtype
     cnn_feature = cnn_feature.astype(dtype)
     state = init_state(cfg.cell_type, cfg.num_layers, B, cfg.hidden_dim, dtype)
 
-    def body(carry, _):
-        x, st = carry
+    def step(x, st):
         top, st2 = step_fn(params["rnn"], x, st)
         logits = jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
-        tok = jnp.argmax(logits, axis=-1)  # [B]
-        return (params["embedding"][tok], st2), tok
+        return jnp.argmax(logits, axis=-1), st2  # [B]
 
-    (_, _), toks = jax.lax.scan(body, (cnn_feature, state), None, length=cfg.max_caption_length)
-    return jnp.swapaxes(toks, 0, 1)  # [B, 25]
+    if end_token is None:
+
+        def body(carry, _):
+            x, st = carry
+            tok, st2 = step(x, st)
+            return (params["embedding"][tok], st2), tok
+
+        (_, _), toks = jax.lax.scan(body, (cnn_feature, state), None, length=T)
+        return jnp.swapaxes(toks, 0, 1)  # [B, 25]
+
+    def cond(carry):
+        t, _, _, _, done = carry
+        return jnp.logical_and(t < T, ~jnp.all(done))
+
+    def body(carry):
+        t, x, st, toks, done = carry
+        tok, st2 = step(x, st)
+        tok = jnp.where(done, 0, tok)  # <pad> after <end>
+        toks = jax.lax.dynamic_update_slice(toks, tok[:, None].astype(jnp.int32), (0, t))
+        return (t + 1, params["embedding"][tok], st2, toks, done | (tok == end_token))
+
+    toks0 = jnp.zeros((B, T), jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+    _, _, _, toks, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), cnn_feature, state, toks0, done0))
+    return toks

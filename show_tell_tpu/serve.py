@@ -43,8 +43,14 @@ class Captioner:
         compute_dtype: str = "bfloat16",
         dp: int = 1,
         mp: int = 1,
+        early_exit: bool = False,
     ):
-        """dp > 1 shards serving batches over the mesh's dp axis (the
+        """early_exit stops greedy decode once every sequence in the
+        batch emitted <end> (identical captions — formatting truncates
+        there anyway; trained models skip ~half the 25 steps).  Off by
+        default: the reference always runs the full 25 (rnn.py:39).
+
+        dp > 1 shards serving batches over the mesh's dp axis (the
         v5e-8 scale-out path; params replicated along dp).  mp > 1
         additionally tensor-shards the decoder's vocab-sized tensors
         (output projection, embedding) along the mp axis — GSPMD turns
@@ -54,6 +60,7 @@ class Captioner:
         (tests/test_serve.py)."""
         self.cfg = cfg
         self.vocab = vocab
+        self.early_exit = early_exit and not cfg.is_attention
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
         cast = lambda t: jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
@@ -104,6 +111,7 @@ class Captioner:
         compute_dtype: str = "bfloat16",
         dp: int = 1,
         mp: int = 1,
+        early_exit: bool = False,
         **cfg_kw,
     ) -> "Captioner":
         """Load either our pickle checkpoint or a reference torch .ckpt."""
@@ -120,7 +128,7 @@ class Captioner:
             **cfg_kw,
         )
         params, bn_state = cls._load_any_checkpoint(ckpt_path, cfg)
-        return cls(params, bn_state, cfg, vocab, compute_dtype, dp=dp, mp=mp)
+        return cls(params, bn_state, cfg, vocab, compute_dtype, dp=dp, mp=mp, early_exit=early_exit)
 
     @staticmethod
     def _load_any_checkpoint(ckpt_path: str, cfg: CaptionerConfig):
@@ -166,6 +174,14 @@ class Captioner:
                             self.params["decoder"], cfg.decoder_config(), feats, beam_size, cfg.start_token
                         )
                     return beam_search_decode(self.params["decoder"], cfg.decoder_config(), feats, beam_size)
+                if self.early_exit:
+                    from show_tell_tpu.models.decoder import greedy_decode
+
+                    feats, _ = encoder_forward(
+                        self.params["encoder"], self.bn_state, cfg.encoder_config(), images, training=False
+                    )
+                    end_idx = self.vocab.word_to_index[self.vocab.end_token()]
+                    return greedy_decode(self.params["decoder"], cfg.decoder_config(), feats, end_token=end_idx)
                 return captioner_greedy_decode(self.params, self.bn_state, cfg, images)
 
             self._jitted[beam_size] = run

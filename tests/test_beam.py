@@ -298,3 +298,42 @@ def test_generic_beam_differential_vs_reference_module():
                     assert got == want, (seed, K, max_len)
                 else:  # documented extension: fringe fallback instead of []
                     assert got, (seed, K, max_len)
+
+
+# ------------------- early-exit greedy decode (serving) ---------------- #
+
+
+def test_early_exit_greedy_matches_full_decode():
+    """greedy_decode(end_token=...) must yield identical captions after
+    <end> truncation, with <pad> after each sequence's first <end>."""
+    cfg, params, feat = setup("gru", T=12)
+    # Bias the output layer toward <end> so sequences finish at varied,
+    # early steps (exercising the while_loop exit).
+    params = dict(params)
+    params["linear"] = dict(params["linear"])
+    params["linear"]["b"] = params["linear"]["b"].at[END].add(3.0)
+
+    full = np.asarray(jax.jit(lambda f: greedy_decode(params, cfg, f))(feat))
+    ee = np.asarray(jax.jit(lambda f: greedy_decode(params, cfg, f, end_token=END))(feat))
+
+    finished = 0
+    for b in range(full.shape[0]):
+        ends = np.where(full[b] == END)[0]
+        cut = int(ends[0]) + 1 if len(ends) else full.shape[1]
+        np.testing.assert_array_equal(ee[b, :cut], full[b, :cut])
+        if len(ends):
+            finished += 1
+            assert (ee[b, cut:] == PAD).all()  # padded, not dont-care argmax
+    assert finished > 0  # the bias actually triggered early <end>s
+
+
+def test_early_exit_greedy_no_end_equals_full():
+    """If no sequence ever emits <end>, the early-exit decode runs all T
+    steps and is bit-equal to the fixed scan."""
+    cfg, params, feat = setup("gru", T=8, seed=3)
+    params = dict(params)
+    params["linear"] = dict(params["linear"])
+    params["linear"]["b"] = params["linear"]["b"].at[END].add(-50.0)  # never <end>
+    full = np.asarray(greedy_decode(params, cfg, feat))
+    ee = np.asarray(greedy_decode(params, cfg, feat, end_token=END))
+    np.testing.assert_array_equal(ee, full)

@@ -222,3 +222,19 @@ def test_coco_empty_annotations(tmp_path):
         json.dump({"images": [], "annotations": []}, f)
     coco = CocoCaptions(str(path))
     assert coco.anns == {} and coco.getAnnIds() == []
+
+
+def test_captioner_early_exit_same_captions(trained):
+    """early_exit serving returns identical caption strings (decode stops
+    once the whole batch emitted <end>; formatting truncates there)."""
+    data_root, out_dir = trained
+    kw = dict(
+        variant="gru", resnet_version=18, embed_dim=16, hidden_dim=24,
+        num_layers=1, compute_dtype="float32",
+    )
+    ckpt = os.path.join(out_dir, "model_1.ckpt")
+    vocab = os.path.join(out_dir, "vocab.pkl")
+    base = Captioner.from_checkpoint(ckpt, vocab, **kw)
+    fast = Captioner.from_checkpoint(ckpt, vocab, early_exit=True, **kw)
+    images = np.random.RandomState(3).randint(0, 255, (4, 224, 224, 3), dtype=np.uint8)
+    assert fast.caption(images) == base.caption(images)
