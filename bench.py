@@ -211,6 +211,60 @@ def bench_latency(batch: int = 8):
     )
 
 
+def bench_beam(beam: int = 3, batch: int = 256):
+    """`python bench.py --beam [K] [B]`: batched beam-search serving
+    throughput (BASELINE.json north-star beam configs are widths 3/5).
+    The beam rides the batch dimension: one log-softmax + top-k over k*V
+    per step, per-hypothesis state gathered on device (decode/beam.py) —
+    the reference's beam runs batch=1 on host-synced steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.decode.beam import beam_search_decode
+    from show_tell_tpu.models.captioner import CaptionerConfig, init_captioner
+    from show_tell_tpu.models.encoder import encoder_forward
+
+    cfg = CaptionerConfig(
+        variant="gru", resnet_version=101, embed_dim=256, hidden_dim=512, vocab_size=9956, num_layers=5
+    )
+    params, state = init_captioner(jax.random.PRNGKey(0), cfg)
+    bf = jnp.bfloat16
+    params = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
+    state = jax.tree.map(lambda x: x.astype(bf), state)
+
+    @jax.jit
+    def serve(images_u8, key):
+        images = preprocess_images(images_u8, key, augment=False, dtype=bf)
+        feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
+        return beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(0)
+    for i in range(12):
+        serve(images, jax.random.fold_in(key, i)).block_until_ready()
+    times = []
+    for r in range(5):
+        t0 = time.perf_counter()
+        for i in range(5):
+            out = serve(images, jax.random.fold_in(key, 100 + r * 5 + i))
+        out.block_until_ready()
+        times.append((time.perf_counter() - t0) / 5)
+    dt = sorted(times)[2]
+    cps = batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "captions_per_sec_per_chip_beam%d" % beam,
+                "value": round(cps, 2),
+                "unit": "captions/s/chip",
+                "vs_baseline": round(cps / 1250.0, 3),
+            }
+        )
+    )
+
+
 def bench_input(batch: int = 64, n_images: int = 512):
     """`python bench.py --input [B]`: host input pipeline end-to-end —
     JPEG bytes on disk -> native threaded decode+resize -> uint8 H2D ->
@@ -304,6 +358,9 @@ if __name__ == "__main__":
     elif "--input" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--input"]
         bench_input(int(args[0]) if args else 64)
+    elif "--beam" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--beam"]
+        bench_beam(int(args[0]) if args else 3, int(args[1]) if len(args) > 1 else 256)
     elif "--attn" in sys.argv:
         # Soft-attention GRU serving throughput (main_attn.py flagship).
         main(variant="attn", batch_default=256)
