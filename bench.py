@@ -170,18 +170,29 @@ def main(variant: str = "gru", batch_default: int = 512):
     # ResNet-101@224 = 7.80 GMACs/image (torchvision-reported madds).
     # Decoder step: 5-layer GRU-512 (layer0 in-dim 256) + vocab proj.
     E, H, V_, L_STEPS = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size, cfg.max_caption_length
-    gru_step_macs = 3 * (E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
-    flops_per_img = 2 * (7.80e9 + gru_step_macs * L_STEPS)
+    if variant == "gru":
+        step_macs = 3 * (E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
+        once_macs = 0.0
+    else:  # attn: GRU(2E) stack + per-step attention/context/embed-proj
+        C, A, P = cfg.nos_filters, cfg.attn_dim, 49
+        step_macs = (
+            3 * (2 * E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
+            + H * A + P * A + 2 * P * C + C * E  # dec_att, full_att, alpha+ctx, embed proj
+        )
+        once_macs = P * C * A  # hoisted att1 (per image, not per step)
+    flops_per_img = 2 * (7.80e9 + step_macs * L_STEPS + once_macs)
     mfu = flops_per_img * batch / (dt / iters) / 197e12
-    line = {
-        "metric": metric,
-        "value": round(cps, 2),
-        "unit": "captions/s/chip",
-        "vs_baseline": round(cps / 1250.0, 3),
-    }
-    if variant == "gru":  # analytic decoder FLOPs modeled for GRU only
-        line["mfu"] = round(mfu, 3)
-    print(json.dumps(line))
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(cps, 2),
+                "unit": "captions/s/chip",
+                "vs_baseline": round(cps / 1250.0, 3),
+                "mfu": round(mfu, 3),
+            }
+        )
+    )
 
 
 def bench_latency(batch: int = 8):
