@@ -148,10 +148,13 @@ def attn_beam_search_decode(
     start_token: int = 1,
     end_token: int = 2,
     pad_token: int = 0,
+    use_pallas: "bool | None" = None,
 ) -> jax.Array:
     """Beam over the soft-attention decoders (framework extension; the
     reference decodes attention models greedily only, rnn_attn.py:77-94).
-    Attention context is recomputed per hypothesis each step."""
+    Attention context is recomputed per hypothesis each step — via the
+    fused Pallas context kernel on a single TPU chip (use_pallas=None
+    auto, same measured policy as greedy decode), XLA elsewhere."""
     B = cnn_feature.shape[0]
     K, T = beam_size, cfg.max_caption_length
     step = stack_step(cfg.cell_type)
@@ -160,11 +163,27 @@ def attn_beam_search_decode(
     feats_tiled = jnp.repeat(feats_pm, K, axis=0)  # [B*K, P, C]
     att1_tiled = jnp.repeat(att1, K, axis=0)
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
+    if use_pallas:
+        from show_tell_tpu.ops.attention_pallas import attention_context_pallas
+
+        interpret = jax.default_backend() != "tpu"
+
+        def context_fn(feats, a1, h):
+            ctx, _ = attention_context_pallas(params["attn"], feats, a1, h, interpret=interpret)
+            return ctx
+    else:
+
+        def context_fn(feats, a1, h):
+            ctx, _ = attention_net_hoisted(params["attn"], feats, a1, h)
+            return ctx
+
     def project(top):
         return _linear(params["linear"], top)
 
     def one_step(w_emb, feats, a1, state):
-        context, _alpha = attention_net_hoisted(params["attn"], feats, a1, _last_h(state, cfg.cell_type))
+        context = context_fn(feats, a1, _last_h(state, cfg.cell_type))
         x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
         top, state2 = step(params["rnn"], x, state)
         return jax.nn.log_softmax(project(top), axis=-1), state2

@@ -337,3 +337,18 @@ def test_early_exit_greedy_no_end_equals_full():
     full = np.asarray(greedy_decode(params, cfg, feat))
     ee = np.asarray(greedy_decode(params, cfg, feat, end_token=END))
     np.testing.assert_array_equal(ee, full)
+
+
+def test_attn_beam_pallas_context_matches_xla():
+    """The Pallas-context attention beam (interpret mode on CPU) must
+    produce the same token ids as the XLA path."""
+    from show_tell_tpu.decode.beam import attn_beam_search_decode
+    from show_tell_tpu.models.attention import AttnDecoderConfig, init_attn_decoder_params
+
+    C, A, P, K, T = 10, 12, 6, 3, 7
+    acfg = AttnDecoderConfig("gru", E, C, A, H, V, L, max_caption_length=T)
+    params = init_attn_decoder_params(jax.random.PRNGKey(4), acfg)
+    feats = jnp.asarray(np.random.RandomState(5).randn(2, C, P).astype(np.float32))
+    a = np.asarray(attn_beam_search_decode(params, acfg, feats, K, use_pallas=False))
+    b = np.asarray(attn_beam_search_decode(params, acfg, feats, K, use_pallas=True))
+    np.testing.assert_array_equal(a, b)

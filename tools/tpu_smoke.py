@@ -163,6 +163,18 @@ def bench_decode():
         pls_fn = jax.jit(lambda f: attn_greedy_decode_pallas(ap, acfg, f, 1, interpret=False))
         t_x, t_p = timeit(xla_fn, feats), timeit(pls_fn, feats)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
+
+    from show_tell_tpu.decode.beam import attn_beam_search_decode
+
+    print("Attention GRU beam-3 decode, 25 steps (context per hypothesis):")
+    for B in (128,):
+        acfg = AttnDecoderConfig("gru", 512, 2048, 512, 512, V, L)
+        ap = jax.tree.map(lambda a: a.astype(bf), init_attn_decoder_params(jax.random.PRNGKey(2), acfg))
+        feats = jnp.asarray(rng.randn(B, 2048, 49).astype(np.float32)).astype(bf)
+        xla_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, use_pallas=False))
+        pls_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, use_pallas=True))
+        t_x, t_p = timeit(xla_fn, feats), timeit(pls_fn, feats)
+        print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
     return 0
 
 
