@@ -21,6 +21,24 @@ import time
 import numpy as np
 
 
+def _median_time(fn, args_list, iters: int = 5, reps: int = 5) -> float:
+    """Median over reps of (iters back-to-back calls) / iters; the last
+    call of each rep is blocked on.  args_list supplies one argument
+    tuple per call (cycled) so RNG keys can vary."""
+    import jax
+
+    times = []
+    n = 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args_list[n % len(args_list)])
+            n += 1
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[len(times) // 2]
+
+
 def _flagship_serve(batch: int, warmup: int = 12):
     """Shared setup for the serving benches: flagship GRU config in bf16,
     jitted uint8->caption-ids fn, warmed up (first ~10 executions through
@@ -152,17 +170,9 @@ def main(variant: str = "gru", batch_default: int = 512):
     for i in range(12):
         serve(images, jax.random.fold_in(key, 1000 + i)).block_until_ready()
 
-    iters, reps = 5, 5
-    times = []
-    for r in range(reps):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = serve(images, jax.random.fold_in(key, r * iters + i))
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]  # median rep
+    dt_iter = _median_time(serve, [(images, jax.random.fold_in(key, i)) for i in range(25)])
 
-    cps = batch * iters / dt
+    cps = batch / dt_iter
     metric = "captions_per_sec_per_chip_greedy"
     if variant != "gru":
         metric += "_" + variant
@@ -181,7 +191,7 @@ def main(variant: str = "gru", batch_default: int = 512):
         )
         once_macs = P * C * A  # hoisted att1 (per image, not per step)
     flops_per_img = 2 * (7.80e9 + step_macs * L_STEPS + once_macs)
-    mfu = flops_per_img * batch / (dt / iters) / 197e12
+    mfu = flops_per_img * batch / dt_iter / 197e12
     print(
         json.dumps(
             {
@@ -255,14 +265,7 @@ def bench_beam(beam: int = 3, batch: int = 256):
     key = jax.random.PRNGKey(0)
     for i in range(12):
         serve(images, jax.random.fold_in(key, i)).block_until_ready()
-    times = []
-    for r in range(5):
-        t0 = time.perf_counter()
-        for i in range(5):
-            out = serve(images, jax.random.fold_in(key, 100 + r * 5 + i))
-        out.block_until_ready()
-        times.append((time.perf_counter() - t0) / 5)
-    dt = sorted(times)[2]
+    dt = _median_time(serve, [(images, jax.random.fold_in(key, 100 + i)) for i in range(25)])
     cps = batch / dt
     print(
         json.dumps(
@@ -288,7 +291,6 @@ def bench_input(batch: int = 64, n_images: int = 512):
     ~7.3k cap/s.  The JSON line carries both numbers so the host-core
     requirement for chip saturation is explicit.
     """
-    import json as _json
     import os
     import tempfile
 
@@ -304,10 +306,10 @@ def bench_input(batch: int = 64, n_images: int = 512):
     os.makedirs(img_dir)
     rng = np.random.RandomState(0)
     images_meta, anns = [], []
+    yy, xx = np.mgrid[0:480, 0:640]
     for i in range(n_images):
         # Smooth gradient + noise: realistic JPEG entropy (pure noise
         # decodes ~2x slower than photos; pure gradients ~2x faster).
-        yy, xx = np.mgrid[0:480, 0:640]
         base = (yy[..., None] * 0.3 + xx[..., None] * 0.2 + np.array([i % 97, i % 53, i % 31]) * 2)
         arr = (base % 256 + rng.randint(0, 60, (480, 640, 3))).astype(np.uint8)
         fname = "img_%05d.jpg" % i
@@ -316,7 +318,7 @@ def bench_input(batch: int = 64, n_images: int = 512):
         anns.append({"id": i, "image_id": i, "caption": "a synthetic benchmark image number %d" % i})
     ann_path = os.path.join(root, "ann.json")
     with open(ann_path, "w") as f:
-        _json.dump({"images": images_meta, "annotations": anns}, f)
+        json.dump({"images": images_meta, "annotations": anns}, f)
 
     class _V:  # minimal vocab: ids irrelevant to serving throughput
         word_to_index = {"<pad>": 0, "<start>": 1, "<end>": 2, "<unk>": 3}

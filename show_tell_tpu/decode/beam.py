@@ -164,7 +164,9 @@ def attn_beam_search_decode(
     att1_tiled = jnp.repeat(att1, K, axis=0)
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
+        from show_tell_tpu.ops import pallas_auto_default
+
+        use_pallas = pallas_auto_default()
     if use_pallas:
         from show_tell_tpu.ops.attention_pallas import attention_context_pallas
 

@@ -124,13 +124,14 @@ def test_model(
     eval_augment = bool(params.get("eval_augment", 1))
     eval_dtype = jnp.bfloat16 if params.get("compute_dtype") == "bfloat16" else jnp.float32
     use_faithful = faithful_beam and beam_size > 0
+    up_flag = int(params.get("use_pallas", -1))  # -1 auto / 0 off / 1 on
     step_fn = make_test_step(
         cfg,
         0 if faithful_beam else beam_size,
         # The reference augments (random flips) at test time (utils.py:96);
         # --eval_augment 0 pins eval deterministic (SURVEY.md §7).
         augment=eval_augment,
-        use_pallas=(lambda f: None if f == -1 else bool(f))(int(params.get("use_pallas", -1))),
+        use_pallas=None if up_flag == -1 else bool(up_flag),
         compute_dtype=eval_dtype,
         loss_only=use_faithful,
     )

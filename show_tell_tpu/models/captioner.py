@@ -165,7 +165,9 @@ def captioner_greedy_decode(
     feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
     if cfg.is_attention:
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
+            from show_tell_tpu.ops import pallas_auto_default
+
+            use_pallas = pallas_auto_default()
         if use_pallas:
             from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
 
