@@ -15,7 +15,7 @@ import jax
 from show_tell_tpu.core.config import load_params
 from show_tell_tpu.data.dataset import get_data_loader
 from show_tell_tpu.evaluation.tester import test_model
-from show_tell_tpu.train.checkpoint import load_checkpoint, restore_train_state
+from show_tell_tpu.train.checkpoint import load_checkpoint, resolve_checkpoint_path, restore_train_state
 from show_tell_tpu.train.loop import captioner_config_from_params, train
 from show_tell_tpu.train.optim import make_optimizer
 from show_tell_tpu.train.train_step import create_train_state
@@ -72,7 +72,7 @@ def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCO
     if params["is_testing"]:
         optimizer = make_optimizer(params["optimizer_type"], params["lr"], params.get("momentum", 0.9))
         ts = create_train_state(jax.random.PRNGKey(params.get("seed", 1)), cfg, optimizer)
-        ckpt_path = os.path.join(params["output_dir"], params["load_model_test"] + ".ckpt")
+        ckpt_path = resolve_checkpoint_path(params["output_dir"], params["load_model_test"])
         ts = restore_train_state(ts, load_checkpoint(ckpt_path))
         print("Model loaded.")
         print("Steps to be taken - %d\n" % len(test_data_loader))

@@ -167,6 +167,7 @@ def build_arg_parser(
     add("--seed", type=int, default=1, help="global RNG seed (reference seeds torch/random with 1)")
     add("--max_caption_length", type=int, default=25, help="decode length cap (reference rnn.py:39)")
     add("--keep_checkpoints", type=int, default=0, help="retention: keep only the newest N epoch checkpoints (0 = keep all, like the reference); --resume_model_train auto resumes from the newest")
+    add("--ckpt_format", type=str, default="pickle", choices=["pickle", "orbax"], help="checkpoint backend: pickle (reference-compatible single file) or orbax (TensorStore directory; sharding-aware at multi-chip scale)")
     add("--eval_augment", type=int, default=1, help="apply random flips at eval time like the reference (utils.py:96); 0 disables for deterministic metric runs")
     add("--attn_next_token", type=int, default=0, help="train attention variants with proper next-token targets instead of the reference's w_t->w_t copy alignment (SURVEY.md 3.2; see docs/ARCHITECTURE.md for why the faithful mode cannot caption)")
     return p

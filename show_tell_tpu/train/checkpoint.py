@@ -42,41 +42,111 @@ def create_checkpoint(
     params: Dict[str, Any],
     extra: Optional[Dict[str, Any]] = None,
 ) -> str:
-    """Write model_<epoch>.ckpt (+ metrics) into params['output_dir']."""
-    model_file = os.path.join(params["output_dir"], "model_%d.ckpt" % epoch)
-    payload = {
-        "format": "show_tell_tpu.v1",
-        "encoder_state_dict": {
-            "trainable": _to_numpy(train_state.trainable["encoder"]),
-            "frozen": _to_numpy(train_state.frozen["encoder"]),
-            "bn_state": _to_numpy(train_state.bn_state),
-        },
-        "decoder_state_dict": _to_numpy(train_state.trainable["decoder"]),
-        "optimizer_state_dict": _to_numpy(train_state.opt_state),
-        "epoch": epoch,
-        "step": step,
-    }
-    if extra:
-        payload.update(extra)
-    _atomic_pickle(payload, model_file)
+    """Write model_<epoch>.ckpt (+ metrics) into params['output_dir'].
+
+    ``params['ckpt_format']`` selects the backend: ``pickle`` (default,
+    reference-compatible single file) or ``orbax`` (TensorStore-backed
+    ``model_<epoch>.orbax/`` directory — the TPU-idiomatic path, handles
+    sharded arrays natively at multi-chip scale)."""
+    if params.get("ckpt_format", "pickle") == "orbax":
+        model_file = _create_checkpoint_orbax(train_state, epoch, step, params)
+    else:
+        model_file = os.path.join(params["output_dir"], "model_%d.ckpt" % epoch)
+        payload = {
+            "format": "show_tell_tpu.v1",
+            "encoder_state_dict": {
+                "trainable": _to_numpy(train_state.trainable["encoder"]),
+                "frozen": _to_numpy(train_state.frozen["encoder"]),
+                "bn_state": _to_numpy(train_state.bn_state),
+            },
+            "decoder_state_dict": _to_numpy(train_state.trainable["decoder"]),
+            "optimizer_state_dict": _to_numpy(train_state.opt_state),
+            "epoch": epoch,
+            "step": step,
+        }
+        if extra:
+            payload.update(extra)
+        _atomic_pickle(payload, model_file)
     metrics_file = os.path.join(params["output_dir"], "model_%d_metrics.ckpt" % epoch)
     _atomic_pickle({"train_loss": list(train_loss)}, metrics_file)
     print("Checkpoint created for Epoch %d (Step %d)." % (epoch, step))
     return model_file
 
 
+def _create_checkpoint_orbax(train_state, epoch: int, step: int, params: Dict[str, Any]) -> str:
+    """model_<epoch>.orbax/ via orbax StandardCheckpointer.
+
+    The optimizer state is stored as a flat leaf list (optax chain states
+    are namedtuples orbax would round-trip as dicts; the live treedef
+    reconstructs them on restore)."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(params["output_dir"], "model_%d.orbax" % epoch))
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    payload = {
+        "encoder_trainable": _to_numpy(train_state.trainable["encoder"]),
+        "encoder_frozen": _to_numpy(train_state.frozen["encoder"]),
+        "bn_state": _to_numpy(train_state.bn_state),
+        "decoder": _to_numpy(train_state.trainable["decoder"]),
+        "opt_leaves": [np.asarray(x) for x in jax.tree.leaves(train_state.opt_state)],
+        "epoch": np.int64(epoch),
+        "step": np.int64(step),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload)
+    ckptr.wait_until_finished()
+    return path
+
+
+def _load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(os.path.abspath(path))
+    return {
+        "format": "show_tell_tpu.orbax",
+        "encoder_state_dict": {
+            "trainable": raw["encoder_trainable"],
+            "frozen": raw["encoder_frozen"],
+            "bn_state": raw["bn_state"],
+        },
+        "decoder_state_dict": raw["decoder"],
+        "optimizer_state_dict": {"__leaves__": list(raw["opt_leaves"])},
+        "epoch": int(raw["epoch"]),
+        "step": int(raw["step"]),
+    }
+
+
+def resolve_checkpoint_path(output_dir: str, name: str) -> str:
+    """``model_N`` -> the existing ``model_N.ckpt`` file or
+    ``model_N.orbax`` directory (pickle wins when both exist)."""
+    pickle_path = os.path.join(output_dir, name + ".ckpt")
+    if os.path.isfile(pickle_path):
+        return pickle_path
+    orbax_path = os.path.join(output_dir, name + ".orbax")
+    if os.path.isdir(orbax_path):
+        return orbax_path
+    return pickle_path  # default error surface: missing-file message
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    if os.path.isdir(path):  # orbax checkpoint directory
+        return _load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 
 
 def _list_checkpoints(output_dir: str):
-    """[(epoch, path)] for model_<N>.ckpt files, ascending by epoch."""
+    """[(epoch, path)] for model_<N>.ckpt files and model_<N>.orbax
+    directories, ascending by epoch."""
     import re
 
     out = []
     for name in os.listdir(output_dir):
-        m = re.fullmatch(r"model_(\d+)\.ckpt", name)
+        m = re.fullmatch(r"model_(\d+)\.(ckpt|orbax)", name)
         if m:
             out.append((int(m.group(1)), os.path.join(output_dir, name)))
     return sorted(out)
@@ -94,9 +164,13 @@ def prune_checkpoints(output_dir: str, keep_last: int) -> None:
     ``keep_last`` model_<N>.ckpt files (+ their metrics files)."""
     if keep_last <= 0:
         return
+    import shutil
+
     for epoch, path in _list_checkpoints(output_dir)[:-keep_last]:
         for p in (path, os.path.join(output_dir, "model_%d_metrics.ckpt" % epoch)):
-            if os.path.isfile(p):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.isfile(p):
                 os.remove(p)
 
 
@@ -114,10 +188,20 @@ def restore_train_state(train_state, ckpt: Dict[str, Any]):
     trainable = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.trainable, trainable)
     frozen = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.frozen, frozen)
     bn_state = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.bn_state, enc["bn_state"])
+    opt_ckpt = ckpt["optimizer_state_dict"]
     try:
-        opt_state = jax.tree.map(
-            lambda _, v: jax.numpy.asarray(v), train_state.opt_state, ckpt["optimizer_state_dict"]
-        )
+        if isinstance(opt_ckpt, dict) and "__leaves__" in opt_ckpt:
+            # orbax backend stores a flat leaf list; rebuild with the
+            # live treedef (leaf shapes must line up).
+            leaves = [jax.numpy.asarray(v) for v in opt_ckpt["__leaves__"]]
+            live, treedef = jax.tree.flatten(train_state.opt_state)
+            if len(leaves) != len(live) or any(
+                np.shape(a) != np.shape(b) for a, b in zip(leaves, live)
+            ):
+                raise ValueError("optimizer leaf mismatch")
+            opt_state = jax.tree.unflatten(treedef, leaves)
+        else:
+            opt_state = jax.tree.map(lambda _, v: jax.numpy.asarray(v), train_state.opt_state, opt_ckpt)
     except ValueError:
         # Checkpoint was written with a different optimizer (e.g. Adam ckpt
         # restored into an SGD run, common when only evaluating). Weights

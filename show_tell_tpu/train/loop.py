@@ -75,7 +75,9 @@ def train(
             if ckpt_path is None:
                 raise FileNotFoundError("no model_<N>.ckpt in %s to auto-resume from" % params["output_dir"])
         else:
-            ckpt_path = os.path.join(params["output_dir"], params["resume_model_train"] + ".ckpt")
+            from show_tell_tpu.train.checkpoint import resolve_checkpoint_path
+
+            ckpt_path = resolve_checkpoint_path(params["output_dir"], params["resume_model_train"])
         print("Loading the model - %s" % os.path.basename(ckpt_path))
         ts = restore_train_state(ts, load_checkpoint(ckpt_path))
         print("Models loaded.")

@@ -193,3 +193,72 @@ def test_auto_resume_cli(tmp_path):
     # keep_checkpoints=1 pruned nothing extra here (same epoch count), but
     # the resume path exercised find_latest_checkpoint end-to-end.
     assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """orbax backend: save/restore rebuilds weights, optimizer state (via
+    the flat-leaf list + live treedef), and epoch/step exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.train.checkpoint import (
+        create_checkpoint,
+        load_checkpoint,
+        resolve_checkpoint_path,
+        restore_train_state,
+    )
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state, make_train_step
+
+    cfg = CaptionerConfig("gru", 18, 8, 12, 40, 1)
+    opt = make_optimizer("Adam", 0.01)
+    ts = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    # One real step so the optimizer state is non-trivial.
+    step = make_train_step(cfg, opt, augment=False)
+    imgs = np.zeros((2, 64, 64, 3), np.uint8)
+    caps = np.array([[1, 5, 6, 2, 0, 0], [1, 7, 2, 0, 0, 0]], np.int32)
+    lens = np.array([4, 3], np.int32)
+    ts, _ = step(ts, imgs, jnp.asarray(caps), jnp.asarray(lens))
+
+    params = {"output_dir": str(tmp_path), "ckpt_format": "orbax"}
+    create_checkpoint(ts, 3, 17, [1.0, 0.5], params)
+    path = resolve_checkpoint_path(str(tmp_path), "model_3")
+    assert path.endswith("model_3.orbax") and os.path.isdir(path)
+
+    ckpt = load_checkpoint(path)
+    assert ckpt["epoch"] == 3 and ckpt["step"] == 17
+
+    ts2 = create_train_state(jax.random.PRNGKey(1), cfg, opt)  # different init
+    ts2 = restore_train_state(ts2, ckpt)
+    for a, b in zip(jax.tree.leaves(ts.trainable), jax.tree.leaves(ts2.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ts.opt_state), jax.tree.leaves(ts2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # bn running stats restore too
+    for a, b in zip(jax.tree.leaves(ts.bn_state), jax.tree.leaves(ts2.bn_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_retention_and_auto_resume(tmp_path):
+    """prune_checkpoints removes orbax dirs; find_latest sees them."""
+    import jax
+
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.train.checkpoint import (
+        create_checkpoint,
+        find_latest_checkpoint,
+        prune_checkpoints,
+    )
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state
+
+    cfg = CaptionerConfig("gru", 18, 8, 12, 40, 1)
+    ts = create_train_state(jax.random.PRNGKey(0), cfg, make_optimizer("SGD", 0.01))
+    params = {"output_dir": str(tmp_path), "ckpt_format": "orbax"}
+    for epoch in (1, 2, 3):
+        create_checkpoint(ts, epoch, epoch, [1.0], params)
+    assert find_latest_checkpoint(str(tmp_path)).endswith("model_3.orbax")
+    prune_checkpoints(str(tmp_path), keep_last=1)
+    names = sorted(os.listdir(str(tmp_path)))
+    assert "model_3.orbax" in names and "model_1.orbax" not in names and "model_2.orbax" not in names

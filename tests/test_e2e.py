@@ -219,3 +219,23 @@ def test_bf16_serving_quality_pinned(trained):
             k, res16["scores"][k], res32["scores"][k]
         )
     assert abs(res16["scores"]["test_loss"] - res32["scores"]["test_loss"]) <= 0.05
+
+
+def test_orbax_checkpoint_cli_roundtrip(tmp_path):
+    """--ckpt_format orbax: train writes model_N.orbax/, resume and the
+    test phase both load it through the CLI path resolution."""
+    data_root = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    build_mini_coco(data_root)
+    os.makedirs(out_dir, exist_ok=True)
+    extra = ["--ckpt_format", "orbax"]
+    run("gru", _argv(data_root, out_dir, ["--is_training", "1", "--is_testing", "0"] + extra))
+    assert os.path.isdir(os.path.join(out_dir, "model_1.orbax"))
+    assert os.path.isfile(os.path.join(out_dir, "model_1_metrics.ckpt"))
+    res = run(
+        "gru",
+        _argv(data_root, out_dir,
+              ["--is_training", "1", "--is_testing", "1", "--load_model_test", "model_1",
+               "--resume_training", "1", "--resume_model_train", "model_1"] + extra),
+    )
+    assert np.isfinite(res["scores"]["test_loss"])
