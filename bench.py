@@ -70,10 +70,11 @@ def _flagship_serve(batch: int, warmup: int = 12):
     return cfg, serve, key
 
 
-def bench_train(batch: int = 128):
-    """Secondary mode (`python bench.py --train [B]`): full train-step
-    throughput in f32 (parity dtype).  Reference baseline: ~402 samples/s
-    on an RTX 2080 (28.6h for 100 epochs x 414k samples, BASELINE.md).
+def bench_train(batch: int = 128, variant: str = "gru"):
+    """Secondary mode (`python bench.py --train [B]` / `--train_attn`):
+    full train-step throughput in f32 (parity dtype).  Reference
+    baseline: ~402 samples/s on an RTX 2080 (28.6h for 100 epochs x 414k
+    samples, BASELINE.md).
     Note: measure in a FRESH process, and expect run-to-run variance on
     this shared TPU pool (B=256 measured anywhere from 31 to 730 ms/step
     across identical work).  B=128-192 measures consistently fast
@@ -85,7 +86,12 @@ def bench_train(batch: int = 128):
     from show_tell_tpu.train.train_step import create_train_state, make_train_step
 
     cfg = CaptionerConfig(
-        variant="gru", resnet_version=101, embed_dim=256, hidden_dim=512, vocab_size=9956, num_layers=5
+        variant=variant,
+        resnet_version=101,
+        embed_dim=256 if variant == "gru" else 512,
+        hidden_dim=512,
+        vocab_size=9956,
+        num_layers=5,
     )
     opt = make_optimizer("SGD", 0.001, 0.9)
     ts = create_train_state(jax.random.PRNGKey(0), cfg, opt)
@@ -111,13 +117,22 @@ def bench_train(batch: int = 128):
     # matmul FLOPs) over the padded T steps.  Matmuls under jax default
     # precision run bf16-pass on TPU even for f32 arrays.
     E, H, V_ = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
-    step_macs = 3 * (E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
-    flops_per_sample = 2 * 7.80e9 + 3 * 2 * step_macs * T
+    if variant == "gru":
+        step_macs = 3 * (E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
+        once_macs = 0.0
+    else:  # attn train: GRU(2E) stack + per-step context; att1/init_h hoisted
+        C, A, P = cfg.nos_filters, cfg.attn_dim, 49
+        step_macs = (
+            3 * (2 * E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
+            + H * A + P * A + 2 * P * C + C * E
+        )
+        once_macs = P * C * A + C * H  # hoisted att1 + init_h
+    flops_per_sample = 2 * 7.80e9 + 3 * 2 * (step_macs * T + once_macs)
     mfu = flops_per_sample * sps / 197e12
     print(
         json.dumps(
             {
-                "metric": "train_samples_per_sec_per_chip",
+                "metric": "train_samples_per_sec_per_chip" + ("" if variant == "gru" else "_" + variant),
                 "value": round(sps, 2),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(sps / 402.0, 3),
@@ -362,7 +377,10 @@ def bench_input(batch: int = 64, n_images: int = 512):
 
 
 if __name__ == "__main__":
-    if "--train" in sys.argv:
+    if "--train_attn" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--train_attn"]
+        bench_train(int(args[0]) if args else 128, variant="attn")
+    elif "--train" in sys.argv:
         args = [a for a in sys.argv[1:] if a not in ("--train",)]
         bench_train(int(args[0]) if args else 128)
     elif "--latency" in sys.argv:
