@@ -117,16 +117,14 @@ def bench_train(batch: int = 128, variant: str = "gru"):
     # matmul FLOPs) over the padded T steps.  Matmuls under jax default
     # precision run bf16-pass on TPU even for f32 arrays.
     E, H, V_ = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
-    if variant == "gru":
-        step_macs = 3 * (E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
-        once_macs = 0.0
-    else:  # attn train: GRU(2E) stack + per-step context; att1/init_h hoisted
+    gates = 3 if cfg.cell_type == "gru" else 4
+    in0 = 2 * E if cfg.is_attention else E
+    step_macs = gates * (in0 * H + H * H) + (cfg.num_layers - 1) * gates * (2 * H * H) + H * V_
+    once_macs = 0.0
+    if cfg.is_attention:  # per-step context; att1/init_h hoisted once
         C, A, P = cfg.nos_filters, cfg.attn_dim, 49
-        step_macs = (
-            3 * (2 * E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
-            + H * A + P * A + 2 * P * C + C * E
-        )
-        once_macs = P * C * A + C * H  # hoisted att1 + init_h
+        step_macs += H * A + P * A + 2 * P * C + C * E
+        once_macs = P * C * A + C * H
     flops_per_sample = 2 * 7.80e9 + 3 * 2 * (step_macs * T + once_macs)
     mfu = flops_per_sample * sps / 197e12
     print(
@@ -195,15 +193,13 @@ def main(variant: str = "gru", batch_default: int = 512):
     # ResNet-101@224 = 7.80 GMACs/image (torchvision-reported madds).
     # Decoder step: 5-layer GRU-512 (layer0 in-dim 256) + vocab proj.
     E, H, V_, L_STEPS = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size, cfg.max_caption_length
-    if variant == "gru":
-        step_macs = 3 * (E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
-        once_macs = 0.0
-    else:  # attn: GRU(2E) stack + per-step attention/context/embed-proj
+    gates = 3 if cfg.cell_type == "gru" else 4  # GRU r,z,n / LSTM i,f,g,o
+    in0 = 2 * E if cfg.is_attention else E  # attn concatenates word+context
+    step_macs = gates * (in0 * H + H * H) + (cfg.num_layers - 1) * gates * (2 * H * H) + H * V_
+    once_macs = 0.0
+    if cfg.is_attention:  # per-step attention/context/embed-proj + hoisted att1
         C, A, P = cfg.nos_filters, cfg.attn_dim, 49
-        step_macs = (
-            3 * (2 * E * H + H * H) + (cfg.num_layers - 1) * 3 * (2 * H * H) + H * V_
-            + H * A + P * A + 2 * P * C + C * E  # dec_att, full_att, alpha+ctx, embed proj
-        )
+        step_macs += H * A + P * A + 2 * P * C + C * E  # dec_att, full_att, alpha+ctx, embed proj
         once_macs = P * C * A  # hoisted att1 (per image, not per step)
     flops_per_img = 2 * (7.80e9 + step_macs * L_STEPS + once_macs)
     mfu = flops_per_img * batch / dt_iter / 197e12
@@ -395,5 +391,8 @@ if __name__ == "__main__":
     elif "--attn" in sys.argv:
         # Soft-attention GRU serving throughput (main_attn.py flagship).
         main(variant="attn", batch_default=256)
+    elif "--lstm" in sys.argv:
+        # LSTM baseline serving throughput (main_lstm.py flagship).
+        main(variant="lstm", batch_default=512)
     else:
         main()

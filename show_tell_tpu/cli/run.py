@@ -41,6 +41,27 @@ def apply_device(device: str) -> None:
         raise ValueError("Please specify a valid device - gpu/cpu/tpu. %s doesn't exist." % (device,))
 
 
+def _init_from_backbone(path: str, cfg, seed: int):
+    """--backbone_weights: torchvision .pth -> frozen backbone params,
+    everything else freshly initialized like the reference (cnn.py:37-42
+    head init, torch-default decoder init).  Replaces torchvision's
+    pretrained=True download (cnn.py:23-31)."""
+    import torch
+
+    from show_tell_tpu.models.captioner import init_captioner
+    from show_tell_tpu.models.resnet import resnet_params_from_torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    res_params, res_state = resnet_params_from_torch(sd)
+    p, s = init_captioner(jax.random.PRNGKey(seed), cfg)
+    p = {**p, "encoder": {**p["encoder"], "resnet": res_params}}
+    s = {**s, "resnet": res_state}
+    print("Backbone weights loaded from %s." % path)
+    return p, s
+
+
 def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCOCO") -> Dict[str, Any]:
     params = load_params(argv, variant=variant, data_source=data_source)
     apply_device(params.get("device", "gpu"))
@@ -60,12 +81,16 @@ def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCO
 
     ts = None
     if params["is_training"]:
+        init_ps = None
+        if params.get("backbone_weights"):
+            init_ps = _init_from_backbone(params["backbone_weights"], cfg, params.get("seed", 1))
         ts = train(
             params,
             vocab,
             train_data_loader,
             test_data_loader,
             eval_every_epochs=5 if variant == "gru" else 0,
+            init_params_state=init_ps,
         )
         results["train_state"] = ts
 

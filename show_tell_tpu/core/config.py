@@ -168,6 +168,7 @@ def build_arg_parser(
     add("--max_caption_length", type=int, default=25, help="decode length cap (reference rnn.py:39)")
     add("--keep_checkpoints", type=int, default=0, help="retention: keep only the newest N epoch checkpoints (0 = keep all, like the reference); --resume_model_train auto resumes from the newest")
     add("--ckpt_format", type=str, default="pickle", choices=["pickle", "orbax"], help="checkpoint backend: pickle (reference-compatible single file) or orbax (TensorStore directory; sharding-aware at multi-chip scale)")
+    add("--backbone_weights", type=str, default="", help="path to a torchvision ResNet state_dict .pth to initialize the frozen backbone — replaces the reference's pretrained=True download (cnn.py:23-31) in zero-egress environments; head/decoder keep the reference init")
     add("--eval_augment", type=int, default=1, help="apply random flips at eval time like the reference (utils.py:96); 0 disables for deterministic metric runs")
     add("--attn_next_token", type=int, default=0, help="train attention variants with proper next-token targets instead of the reference's w_t->w_t copy alignment (SURVEY.md 3.2; see docs/ARCHITECTURE.md for why the faithful mode cannot caption)")
     return p

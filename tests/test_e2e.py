@@ -239,3 +239,39 @@ def test_orbax_checkpoint_cli_roundtrip(tmp_path):
                "--resume_training", "1", "--resume_model_train", "model_1"] + extra),
     )
     assert np.isfinite(res["scores"]["test_loss"])
+
+
+def test_backbone_weights_cli(tmp_path):
+    """--backbone_weights loads a torchvision-style .pth into the frozen
+    backbone (the reference's pretrained=True, cnn.py:23-31) while the
+    head/decoder get the reference init; the backbone stays frozen."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from torch_resnet_oracle import TorchResNet
+    from show_tell_tpu.models.resnet import resnet_params_from_torch
+
+    torch.manual_seed(7)
+    backbone = TorchResNet(18)
+    pth = str(tmp_path / "resnet18.pth")
+    torch.save(backbone.state_dict(), pth)
+    want_params, want_state = resnet_params_from_torch(backbone.state_dict())
+
+    data_root = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    build_mini_coco(data_root)
+    os.makedirs(out_dir, exist_ok=True)
+    res = run(
+        "gru",
+        _argv(data_root, out_dir,
+              ["--is_training", "1", "--is_testing", "0", "--backbone_weights", pth]),
+    )
+    frozen = res["train_state"].frozen["encoder"]["resnet"]
+    # Conv weights are frozen: still exactly the imported values.
+    np.testing.assert_array_equal(
+        np.asarray(frozen["conv1.weight"]), np.asarray(want_params["conv1.weight"])
+    )
+    # BN running stats DRIFTED during training (train-mode frozen
+    # backbone, reference semantics) — they must differ from the import.
+    bn = res["train_state"].bn_state["resnet"]["bn1.running_mean"]
+    assert not np.allclose(np.asarray(bn), np.asarray(want_state["bn1.running_mean"]))
