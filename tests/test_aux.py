@@ -262,3 +262,23 @@ def test_orbax_retention_and_auto_resume(tmp_path):
     prune_checkpoints(str(tmp_path), keep_last=1)
     names = sorted(os.listdir(str(tmp_path)))
     assert "model_3.orbax" in names and "model_1.orbax" not in names and "model_2.orbax" not in names
+
+
+def test_reproduce_reference_dry_run():
+    """The reproduction runbook assembles the reference's published-row
+    hyperparams into the right CLI invocation (dry run, no training)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "tools/reproduce_reference.py", "--row", "gru_512_lr001_sgd"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "cli.main" in out.stdout
+    for frag in ["--lr 0.001", "--embedding_length 512", "--optimizer_type SGD",
+                 "--num_epochs 100", "--resnet_version 101", "dry run"]:
+        assert frag in out.stdout, frag
+    out = subprocess.run(
+        [sys.executable, "tools/reproduce_reference.py", "--row", "lstm_512_lr0001_adam"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert "cli.main_lstm" in out.stdout and "--optimizer_type Adam" in out.stdout
