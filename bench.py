@@ -394,5 +394,8 @@ if __name__ == "__main__":
     elif "--lstm" in sys.argv:
         # LSTM baseline serving throughput (main_lstm.py flagship).
         main(variant="lstm", batch_default=512)
+    elif "--attn_lstm" in sys.argv:
+        # Soft-attention LSTM serving throughput (main_attn_LSTM.py).
+        main(variant="attn_lstm", batch_default=256)
     else:
         main()

@@ -352,3 +352,26 @@ def test_attn_beam_pallas_context_matches_xla():
     a = np.asarray(attn_beam_search_decode(params, acfg, feats, K, use_pallas=False))
     b = np.asarray(attn_beam_search_decode(params, acfg, feats, K, use_pallas=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_attn_lstm_beam1_equals_greedy_prefix():
+    """Beam engine handles the attention-LSTM (h, c) state tuple: width-1
+    beam equals the greedy decode up to <end> retirement."""
+    from show_tell_tpu.decode.beam import attn_beam_search_decode
+    from show_tell_tpu.models.attention import (
+        AttnDecoderConfig,
+        attn_greedy_decode,
+        init_attn_decoder_params,
+    )
+
+    C, A, P, T = 10, 12, 6, 9
+    acfg = AttnDecoderConfig("lstm", E, C, A, H, V, L, max_caption_length=T)
+    params = init_attn_decoder_params(jax.random.PRNGKey(6), acfg)
+    feats = jnp.asarray(np.random.RandomState(8).randn(3, C, P).astype(np.float32))
+    beam = np.asarray(attn_beam_search_decode(params, acfg, feats, 1, 1, END, PAD))
+    greedy = np.asarray(attn_greedy_decode(params, acfg, feats, 1))
+    for b in range(3):
+        ends = np.where(greedy[b] == END)[0]
+        upto = (ends[0] + 1) if len(ends) else T
+        np.testing.assert_array_equal(beam[b, :upto], greedy[b, :upto])
+        assert (beam[b, upto:] == PAD).all()

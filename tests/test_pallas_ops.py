@@ -126,7 +126,8 @@ def test_s2d_stem_matches_conv1():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_attn_greedy_decode_pallas_matches_xla():
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_attn_greedy_decode_pallas_matches_xla(cell):
     from show_tell_tpu.models.attention import (
         AttnDecoderConfig,
         attn_greedy_decode,
@@ -135,7 +136,7 @@ def test_attn_greedy_decode_pallas_matches_xla():
     from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
 
     B, P, C, A, H, E, V, L = 8, 49, 256, 128, 128, 32, 60, 2
-    acfg = AttnDecoderConfig("gru", E, C, A, H, V, L, max_caption_length=8)
+    acfg = AttnDecoderConfig(cell, E, C, A, H, V, L, max_caption_length=8)
     params = init_attn_decoder_params(jax.random.PRNGKey(4), acfg)
     feats = jnp.asarray(np.random.RandomState(5).randn(B, C, P).astype(np.float32))
     ref = np.asarray(attn_greedy_decode(params, acfg, feats, 1))
