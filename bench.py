@@ -347,6 +347,13 @@ def bench_input(batch: int = 64, n_images: int = 512):
     n_host = sum(b[1].shape[0] for b in loader)
     host_rate = n_host / (time.perf_counter() - t0)
 
+    # Same pass with --fast_jpeg (DCT-domain scaled decode).
+    ds.fast_jpeg = True
+    t0 = time.perf_counter()
+    n_fast = sum(b[1].shape[0] for b in loader)
+    host_rate_fast = n_fast / (time.perf_counter() - t0)
+    ds.fast_jpeg = False
+
     # End-to-end pass: loader -> H2D -> chip decode.
     t0 = time.perf_counter()
     n_e2e = 0
@@ -366,7 +373,8 @@ def bench_input(batch: int = 64, n_images: int = 512):
                 "unit": "captions/s (1 host core)",
                 "vs_baseline": round(e2e_rate / 402.0, 3),  # ref train-side img/s as scale
                 "host_decode_imgs_per_sec": round(host_rate, 2),
-                "note": "host-bound: chip serves ~7.3k cap/s; decoder thread-scales ~180/s/core",
+                "host_decode_imgs_per_sec_fast_jpeg": round(host_rate_fast, 2),
+                "note": "host-bound: chip serves ~7.3k cap/s; decoder thread-scales ~180/s/core (--fast_jpeg ~2x that)",
             }
         )
     )

@@ -55,6 +55,7 @@ class MSCOCO:
         vocab,
         train: bool = True,
         use_native_decode: Optional[bool] = None,
+        fast_jpeg: bool = False,
     ):
         self.data_path = data_path
         self.vocab = vocab
@@ -62,6 +63,11 @@ class MSCOCO:
         if use_native_decode is None:
             use_native_decode = native_fastimage.is_available()
         self.use_native_decode = use_native_decode
+        # fast_jpeg: DCT-domain scaled JPEG decode (libjpeg scale_num/denom;
+        # PIL's Image.draft on the fallback path). ~2x faster per image,
+        # pixels within a few LSB of the full-resolution decode — opt-in
+        # extension (--fast_jpeg), off by default for reference parity.
+        self.fast_jpeg = fast_jpeg
         coco = CocoCaptions(ann_path)
         self.annotation_ids = list(coco.anns.keys())
         self.annotation_obj = coco
@@ -82,10 +88,15 @@ class MSCOCO:
             # scales on multi-core hosts (show_tell_tpu/native).
             try:
                 with open(full_path, "rb") as f:
-                    return native_fastimage.decode_resize(f.read(), IMAGE_SIZE, IMAGE_SIZE)
+                    return native_fastimage.decode_resize(
+                        f.read(), IMAGE_SIZE, IMAGE_SIZE, fast_scale=self.fast_jpeg
+                    )
             except ValueError:
                 pass  # non-JPEG or corrupt: fall through to PIL
-        img = Image.open(full_path).convert("RGB")
+        img = Image.open(full_path)
+        if self.fast_jpeg:
+            img.draft("RGB", (IMAGE_SIZE, IMAGE_SIZE))  # no-op for non-JPEG
+        img = img.convert("RGB")
         # torchvision Resize((224,224)) on a PIL image == PIL bilinear
         # resize with antialias (utils.py:84).
         img = img.resize((IMAGE_SIZE, IMAGE_SIZE), Image.BILINEAR)
@@ -208,7 +219,7 @@ class DataLoader:
 
         bufs = list(pool.map(read, [m[0] for m in metas]))
         images, statuses = native_fastimage.decode_resize_batch(
-            bufs, IMAGE_SIZE, IMAGE_SIZE, n_threads=self.num_workers
+            bufs, IMAGE_SIZE, IMAGE_SIZE, n_threads=self.num_workers, fast_scale=ds.fast_jpeg
         )
         samples = []
         for k, (path, caption) in enumerate(metas):
@@ -262,8 +273,11 @@ class DataLoader:
 
 def get_data_loader(vocab, params: Dict[str, Any], run_type: str) -> DataLoader:
     """Loader factory mirroring reference utils.py:79-103."""
+    fast_jpeg = bool(params.get("fast_jpeg", 0))
     if run_type == "train":
-        dataset = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab, train=True)
+        dataset = MSCOCO(
+            params["ann_path_train"], params["data_path_train"], vocab, train=True, fast_jpeg=fast_jpeg
+        )
         return DataLoader(
             dataset,
             batch_size=params["batch_size"],
@@ -274,7 +288,9 @@ def get_data_loader(vocab, params: Dict[str, Any], run_type: str) -> DataLoader:
             seed=params.get("seed", 1),
         )
     elif run_type == "test":
-        dataset = MSCOCO(params["ann_path_test"], params["data_path_test"], vocab, train=False)
+        dataset = MSCOCO(
+            params["ann_path_test"], params["data_path_test"], vocab, train=False, fast_jpeg=fast_jpeg
+        )
         return DataLoader(
             dataset,
             batch_size=params["batch_size"],

@@ -39,8 +39,18 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG buffer to RGB8. Returns 0 on success.
+//
+// When min_h/min_w are positive, uses libjpeg's DCT-domain scaled decode
+// (scale_num/scale_denom): the IDCT itself produces the smallest supported
+// reduction whose output still covers (min_h, min_w), so a 640x480 source
+// headed for 224x224 is decoded at 1/2 scale — a fraction of the IDCT and
+// color-conversion work, and 4x fewer pixels through the resize.  This is
+// the same mechanism as PIL's Image.draft() fast path.  libjpeg-turbo
+// supports M/8 scales (M=1..8 used here); a plain libjpeg rounds the
+// request up to its nearest supported power-of-two scale, and the resize
+// below consumes whatever dimensions the library actually produced.
 int decode_rgb(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
-               int* width, int* height) {
+               int* width, int* height, int min_h = 0, int min_w = 0) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -56,6 +66,19 @@ int decode_rgb(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
     return 2;
   }
   cinfo.out_color_space = JCS_RGB;  // grayscale/CMYK converted like PIL's .convert('RGB')
+  if (min_h > 0 && min_w > 0) {
+    unsigned m = 8;  // full scale unless a reduction still covers the target
+    for (unsigned cand = 1; cand < 8; ++cand) {
+      const unsigned sw = (cinfo.image_width * cand + 7) / 8;
+      const unsigned sh = (cinfo.image_height * cand + 7) / 8;
+      if (int(sw) >= min_w && int(sh) >= min_h) {
+        m = cand;
+        break;
+      }
+    }
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   *width = cinfo.output_width;
   *height = cinfo.output_height;
@@ -160,33 +183,50 @@ void resize_rgb(const uint8_t* in, int w_in, int h_in, uint8_t* out, int w_out,
 extern "C" {
 
 // Decode one JPEG and resize to (out_h, out_w) RGB8. Returns 0 on success.
-int st_decode_resize(const uint8_t* jpeg, size_t len, int out_h, int out_w,
-                     uint8_t* out_rgb) {
+// fast_scale != 0 enables the DCT-domain scaled decode (see decode_rgb):
+// pixels differ slightly from the full-resolution path (the 8x8-block
+// IDCT reduction is the antialias filter), so it is opt-in — the parity
+// path decodes at full resolution like PIL.
+int st_decode_resize2(const uint8_t* jpeg, size_t len, int out_h, int out_w,
+                      uint8_t* out_rgb, int fast_scale) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  int rc = decode_rgb(jpeg, len, &rgb, &w, &h);
+  int rc = decode_rgb(jpeg, len, &rgb, &w, &h, fast_scale ? out_h : 0,
+                      fast_scale ? out_w : 0);
   if (rc != 0) return rc;
   resize_rgb(rgb.data(), w, h, out_rgb, out_w, out_h);
   return 0;
 }
 
+int st_decode_resize(const uint8_t* jpeg, size_t len, int out_h, int out_w,
+                     uint8_t* out_rgb) {
+  return st_decode_resize2(jpeg, len, out_h, out_w, out_rgb, 0);
+}
+
 // Batched, threaded variant. bufs/lens: n JPEG buffers; out: n*out_h*out_w*3.
 // Per-image status written to statuses. Returns number of failures.
-int st_decode_resize_batch(const uint8_t** bufs, const size_t* lens, int n,
-                           int out_h, int out_w, uint8_t* out, int* statuses,
-                           int n_threads) {
+int st_decode_resize_batch2(const uint8_t** bufs, const size_t* lens, int n,
+                            int out_h, int out_w, uint8_t* out, int* statuses,
+                            int n_threads, int fast_scale) {
   if (n_threads < 1) n_threads = 1;
   const size_t stride = size_t(out_h) * out_w * 3;
   std::vector<std::thread> threads;
   for (int t = 0; t < n_threads; ++t) {
     threads.emplace_back([&, t]() {
       for (int i = t; i < n; i += n_threads)
-        statuses[i] = st_decode_resize(bufs[i], lens[i], out_h, out_w, out + stride * i);
+        statuses[i] =
+            st_decode_resize2(bufs[i], lens[i], out_h, out_w, out + stride * i, fast_scale);
     });
   }
   for (auto& th : threads) th.join();
   int failures = 0;
   for (int i = 0; i < n; ++i) failures += (statuses[i] != 0);
   return failures;
+}
+
+int st_decode_resize_batch(const uint8_t** bufs, const size_t* lens, int n,
+                           int out_h, int out_w, uint8_t* out, int* statuses,
+                           int n_threads) {
+  return st_decode_resize_batch2(bufs, lens, n, out_h, out_w, out, statuses, n_threads, 0);
 }
 }

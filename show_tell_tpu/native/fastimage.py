@@ -36,16 +36,26 @@ def _load() -> Optional[ctypes.CDLL]:
         if not os.path.isfile(_LIB_PATH):
             return None
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.st_decode_resize.restype = ctypes.c_int
-        lib.st_decode_resize.argtypes = [
+        if not hasattr(lib, "st_decode_resize2") and not _build_attempted:
+            # Stale .so from before the fast_scale ABI: rebuild in place.
+            _build_attempted = True
+            from show_tell_tpu.native.build import build
+
+            build(verbose=False)
+            lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, "st_decode_resize2"):
+            return None
+        lib.st_decode_resize2.restype = ctypes.c_int
+        lib.st_decode_resize2.argtypes = [
             ctypes.c_char_p,
             ctypes.c_size_t,
             ctypes.c_int,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
         ]
-        lib.st_decode_resize_batch.restype = ctypes.c_int
-        lib.st_decode_resize_batch.argtypes = [
+        lib.st_decode_resize_batch2.restype = ctypes.c_int
+        lib.st_decode_resize_batch2.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.c_int,
@@ -53,6 +63,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
             ctypes.c_int,
         ]
         _lib = lib
@@ -63,18 +74,26 @@ def is_available() -> bool:
     return _load() is not None
 
 
-def decode_resize(jpeg_bytes: bytes, out_h: int, out_w: int) -> np.ndarray:
-    """JPEG bytes -> uint8 RGB [out_h, out_w, 3]. Raises on decode error."""
+def decode_resize(jpeg_bytes: bytes, out_h: int, out_w: int, fast_scale: bool = False) -> np.ndarray:
+    """JPEG bytes -> uint8 RGB [out_h, out_w, 3]. Raises on decode error.
+
+    ``fast_scale`` enables libjpeg's DCT-domain scaled decode (the IDCT
+    emits the smallest M/8 reduction still covering the target, then the
+    antialiased resize finishes the job) — several times faster on
+    COCO-sized images, pixels within a few LSB of the full-resolution
+    path (tests/test_native.py pins the bound). Off = PIL-parity.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("libfastimage.so unavailable (build failed?)")
     out = np.empty((out_h, out_w, 3), dtype=np.uint8)
-    rc = lib.st_decode_resize(
+    rc = lib.st_decode_resize2(
         jpeg_bytes,
         len(jpeg_bytes),
         out_h,
         out_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        1 if fast_scale else 0,
     )
     if rc != 0:
         raise ValueError("JPEG decode failed (status %d)" % rc)
@@ -82,7 +101,11 @@ def decode_resize(jpeg_bytes: bytes, out_h: int, out_w: int) -> np.ndarray:
 
 
 def decode_resize_batch(
-    jpeg_buffers: Sequence[bytes], out_h: int, out_w: int, n_threads: int = 0
+    jpeg_buffers: Sequence[bytes],
+    out_h: int,
+    out_w: int,
+    n_threads: int = 0,
+    fast_scale: bool = False,
 ) -> Tuple[np.ndarray, List[int]]:
     """Threaded batch decode. Returns (uint8 [N, H, W, 3], statuses)."""
     lib = _load()
@@ -95,7 +118,7 @@ def decode_resize_batch(
     lens = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
     if n_threads <= 0:
         n_threads = min(max(os.cpu_count() or 1, 1), max(n, 1))
-    lib.st_decode_resize_batch(
+    lib.st_decode_resize_batch2(
         bufs,
         lens,
         n,
@@ -104,5 +127,6 @@ def decode_resize_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         statuses,
         n_threads,
+        1 if fast_scale else 0,
     )
     return out, list(statuses)

@@ -203,14 +203,22 @@ class Captioner:
         words = create_caption_word_format(ids, self.vocab, False)
         return [" ".join(w) for w in words]
 
-    def caption_files(self, paths: Sequence[str], beam_size: int = 0) -> List[str]:
-        """JPEG file paths -> caption strings (native decode if built)."""
+    def caption_files(
+        self, paths: Sequence[str], beam_size: int = 0, fast_jpeg: bool = False
+    ) -> List[str]:
+        """JPEG file paths -> caption strings (native decode if built).
+
+        fast_jpeg: DCT-domain scaled decode — ~2x faster on the host,
+        pixels within a few LSB of the full-resolution decode (see
+        docs/DATA.md "JPEG decode paths")."""
         from show_tell_tpu.native import fastimage
 
         imgs = []
         if fastimage.is_available():
             bufs = [open(p, "rb").read() for p in paths]
-            batch, statuses = fastimage.decode_resize_batch(bufs, IMAGE_SIZE, IMAGE_SIZE)
+            batch, statuses = fastimage.decode_resize_batch(
+                bufs, IMAGE_SIZE, IMAGE_SIZE, fast_scale=fast_jpeg
+            )
             for i, s in enumerate(statuses):
                 if s != 0:  # fall back to PIL for odd files
                     batch[i] = self._pil_load(paths[i])
@@ -225,3 +233,84 @@ class Captioner:
 
         img = Image.open(path).convert("RGB").resize((IMAGE_SIZE, IMAGE_SIZE), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """Deployment CLI: ``python -m show_tell_tpu.serve --ckpt model.ckpt
+    --vocab vocab.pkl img1.jpg photos_dir/ ...``
+
+    Loads a checkpoint (ours or a reference torch .ckpt), captions the
+    given JPEG files/directories in fixed-size batches (one compiled
+    program — the last partial batch is padded, outputs sliced), and
+    prints one ``path<TAB>caption`` line per image (``--json`` for one
+    JSON object per line).  The reference has no serving entry point;
+    this is the framework's (its test_model only scores a dataset).
+    """
+    import argparse
+    import json as _json
+    import os
+    import sys
+
+    p = argparse.ArgumentParser(prog="python -m show_tell_tpu.serve", description="Caption images from a checkpoint.")
+    p.add_argument("images", nargs="+", help="JPEG files and/or directories of JPEGs")
+    p.add_argument("--ckpt", required=True, help="checkpoint path (show_tell_tpu pickle/orbax or reference torch .ckpt)")
+    p.add_argument("--vocab", required=True, help="vocab.pkl path (ours or the reference's)")
+    p.add_argument("--variant", default="gru", choices=["gru", "lstm", "attn", "attn_lstm"])
+    p.add_argument("--resnet_version", type=int, default=101)
+    p.add_argument("--embedding_length", type=int, default=0, help="0 = reference default for the variant (256 gru, 512 others)")
+    p.add_argument("--num_hidden_units", type=int, default=512)
+    p.add_argument("--num_layers", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--beam_size", type=int, default=0, help="0 = greedy")
+    p.add_argument("--compute_dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--dp", type=int, default=1, help="shard serving batches over this many devices")
+    p.add_argument("--mp", type=int, default=1, help="tensor-shard vocab-sized decoder params over this many devices")
+    p.add_argument("--early_exit", type=int, default=0, help="stop greedy decode when every sequence emitted <end>")
+    p.add_argument("--fast_jpeg", type=int, default=0, help="DCT-domain scaled JPEG decode (~2x host decode speed)")
+    p.add_argument("--json", action="store_true", help='emit {"image": ..., "caption": ...} JSON lines')
+    args = p.parse_args(argv)
+
+    paths: List[str] = []
+    for item in args.images:
+        if os.path.isdir(item):
+            paths.extend(
+                os.path.join(item, f)
+                for f in sorted(os.listdir(item))
+                if f.lower().endswith((".jpg", ".jpeg", ".png"))
+            )
+        else:
+            paths.append(item)
+    if not paths:
+        print("no images found", file=sys.stderr)
+        return 2
+
+    embed = args.embedding_length or (256 if args.variant == "gru" else 512)
+    captioner = Captioner.from_checkpoint(
+        args.ckpt,
+        args.vocab,
+        variant=args.variant,
+        resnet_version=args.resnet_version,
+        embed_dim=embed,
+        hidden_dim=args.num_hidden_units,
+        num_layers=args.num_layers,
+        compute_dtype=args.compute_dtype,
+        dp=args.dp,
+        mp=args.mp,
+        early_exit=bool(args.early_exit),
+    )
+
+    B = max(1, args.batch_size)
+    for lo in range(0, len(paths), B):
+        chunk = paths[lo : lo + B]
+        padded = chunk + [chunk[-1]] * (B - len(chunk))  # static batch shape
+        captions = captioner.caption_files(padded, args.beam_size, fast_jpeg=bool(args.fast_jpeg))[: len(chunk)]
+        for path, cap in zip(chunk, captions):
+            if args.json:
+                print(_json.dumps({"image": path, "caption": cap}))
+            else:
+                print("%s\t%s" % (path, cap))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

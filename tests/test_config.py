@@ -71,3 +71,8 @@ def test_extension_beam_keeps_batch_size():
     assert p["batch_size"] == 16  # batched beam, no batch-1 forcing
     p = load_params(["--beam_size", "3", "--batch_size", "16"], variant="gru")
     assert p["batch_size"] == 1  # reference main.py:81-82 behavior kept
+
+
+def test_fast_jpeg_flag():
+    assert load_params([], variant="gru")["fast_jpeg"] == 0  # parity default
+    assert load_params(["--fast_jpeg", "1"], variant="attn")["fast_jpeg"] == 1

@@ -118,3 +118,68 @@ def test_loader_native_batch_path_matches_per_sample(tmp_path):
         np.testing.assert_array_equal(lenn, lenp)
         assert np.abs(imn.astype(int) - imp.astype(int)).max() <= 1
     ln.close(), lp.close()
+
+
+def test_fast_scale_close_to_full_resolution():
+    """--fast_jpeg path: DCT-domain scaled decode + resize stays within a
+    few LSB of the full-resolution decode on a COCO-sized image, and
+    selects full resolution when the source is no bigger than the target
+    (no upscale-from-reduced)."""
+    rng = np.random.RandomState(0)
+    x, y = np.meshgrid(np.linspace(0, 255, 640), np.linspace(0, 255, 480))
+    arr = np.stack([x, y, (x + y) / 2], -1)
+    arr = (arr + rng.randint(0, 40, (480, 640, 3))).clip(0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+    jpeg = buf.getvalue()
+
+    full = decode_resize(jpeg, 224, 224)
+    fast = decode_resize(jpeg, 224, 224, fast_scale=True)
+    diff = np.abs(full.astype(int) - fast.astype(int))
+    assert diff.mean() < 2.0 and diff.max() <= 12, (diff.mean(), diff.max())
+
+    # Small source: the scaled decode must not reduce below the target.
+    small_buf = io.BytesIO()
+    Image.fromarray(arr[:200, :160]).save(small_buf, format="JPEG", quality=90)
+    np.testing.assert_array_equal(
+        decode_resize(small_buf.getvalue(), 224, 224, fast_scale=True),
+        decode_resize(small_buf.getvalue(), 224, 224),
+    )
+
+
+def test_fast_scale_batch_matches_single():
+    jpegs = [_jpeg(s, size=(640, 480)) for s in range(4)]
+    out, statuses = decode_resize_batch(jpegs, 224, 224, n_threads=2, fast_scale=True)
+    assert statuses == [0] * 4
+    for k in range(4):
+        np.testing.assert_array_equal(out[k], decode_resize(jpegs[k], 224, 224, fast_scale=True))
+
+
+def test_loader_fast_jpeg_close_to_parity(tmp_path):
+    """End-to-end loader with fast_jpeg=True: identical captions/lengths,
+    images within a few LSB of the parity decode (native and PIL-draft
+    fallback paths both covered via use_native_decode)."""
+    from fixtures import build_mini_coco, mini_params
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.vocab import get_vocabulary
+
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"))
+    vocab = get_vocabulary("MSCOCO", params)
+
+    for native in (True, False):
+        ds_fast = MSCOCO(
+            params["ann_path_train"], params["data_path_train"], vocab,
+            use_native_decode=native, fast_jpeg=True,
+        )
+        ds_ref = MSCOCO(
+            params["ann_path_train"], params["data_path_train"], vocab, use_native_decode=native
+        )
+        lf = DataLoader(ds_fast, batch_size=4, shuffle=False)
+        lr = DataLoader(ds_ref, batch_size=4, shuffle=False)
+        for (pf, imf, capf, lenf), (pr, imr, capr, lenr) in zip(lf, lr):
+            assert pf == pr
+            np.testing.assert_array_equal(capf, capr)
+            np.testing.assert_array_equal(lenf, lenr)
+            assert np.abs(imf.astype(int) - imr.astype(int)).mean() < 3.0
+        lf.close(), lr.close()

@@ -238,3 +238,35 @@ def test_captioner_early_exit_same_captions(trained):
     fast = Captioner.from_checkpoint(ckpt, vocab, early_exit=True, **kw)
     images = np.random.RandomState(3).randint(0, 255, (4, 224, 224, 3), dtype=np.uint8)
     assert fast.caption(images) == base.caption(images)
+
+
+def test_serve_cli(trained, capsys):
+    """python -m show_tell_tpu.serve: directory input, batch padding for
+    the last partial batch, tab and JSON output modes, --fast_jpeg."""
+    import json
+
+    from show_tell_tpu.serve import main as serve_main
+
+    data_root, out_dir = trained
+    img_dir = os.path.join(data_root, "train2014")
+    n_imgs = len(os.listdir(img_dir))
+    common = [
+        "--ckpt", os.path.join(out_dir, "model_1.ckpt"),
+        "--vocab", os.path.join(out_dir, "vocab.pkl"),
+        "--variant", "gru", "--resnet_version", "18",
+        "--embedding_length", "16", "--num_hidden_units", "24",
+        "--num_layers", "1", "--compute_dtype", "float32",
+        "--batch_size", "4",  # n_imgs=8 -> exact; also test partial below
+    ]
+    assert serve_main([img_dir] + common) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(lines) == n_imgs
+    paths = [l.split("\t")[0] for l in lines]
+    assert paths == sorted(paths)
+
+    # Partial batch (3 files into batch_size 4) + JSON + fast_jpeg.
+    three = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))[:3]]
+    assert serve_main(three + common + ["--json", "--fast_jpeg", "1"]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert [o["image"] for o in out] == three
+    assert all(isinstance(o["caption"], str) for o in out)
