@@ -39,34 +39,62 @@ def _median_time(fn, args_list, iters: int = 5, reps: int = 5) -> float:
     return sorted(times)[len(times) // 2]
 
 
-def _flagship_serve(batch: int, warmup: int = 12):
-    """Shared setup for the serving benches: flagship GRU config in bf16,
-    jitted uint8->caption-ids fn, warmed up (first ~10 executions through
-    the axon tunnel run slower than steady state)."""
+def _flagship_params(variant: str = "gru"):
+    """Flagship config per variant (reference defaults: ResNet-101,
+    5-layer hidden-512 decoder, vocab 9956; embed 256 for GRU, 512 for
+    the LSTM/attention CLIs) with params/state cast to the bf16 serving
+    dtype — shared by every serving bench."""
     import jax
     import jax.numpy as jnp
 
-    from show_tell_tpu.data.transforms import preprocess_images
-    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_greedy_decode, init_captioner
+    from show_tell_tpu.models.captioner import CaptionerConfig, init_captioner
 
     cfg = CaptionerConfig(
-        variant="gru", resnet_version=101, embed_dim=256, hidden_dim=512, vocab_size=9956, num_layers=5
+        variant=variant,
+        resnet_version=101,
+        embed_dim=256 if variant == "gru" else 512,
+        hidden_dim=512,
+        vocab_size=9956,
+        num_layers=5,
     )
     params, state = init_captioner(jax.random.PRNGKey(0), cfg)
     bf = jnp.bfloat16
     params = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
     state = jax.tree.map(lambda x: x.astype(bf), state)
+    return cfg, params, state
 
-    @jax.jit
-    def serve(images_u8, key):
-        return captioner_greedy_decode(
-            params, state, cfg, preprocess_images(images_u8, key, augment=False, dtype=bf)
-        )
+
+def _warmup(serve, batch: int, warmup: int = 12):
+    """Compile + steady-state warmup (the first ~10 executions through
+    the axon tunnel run slower than steady state)."""
+    import jax
+    import jax.numpy as jnp
 
     key = jax.random.PRNGKey(0)
     warm = jnp.zeros((batch, 224, 224, 3), jnp.uint8)
     for i in range(warmup):
         serve(warm, jax.random.fold_in(key, i)).block_until_ready()
+    return key
+
+
+def _flagship_serve(batch: int, warmup: int = 12):
+    """Shared setup for the serving benches: flagship bf16 params and a
+    warmed-up jitted uint8->caption-ids greedy decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.models.captioner import captioner_greedy_decode
+
+    cfg, params, state = _flagship_params()
+
+    @jax.jit
+    def serve(images_u8, key):
+        return captioner_greedy_decode(
+            params, state, cfg, preprocess_images(images_u8, key, augment=False, dtype=jnp.bfloat16)
+        )
+
+    key = _warmup(serve, batch, warmup)
     return cfg, serve, key
 
 
@@ -145,31 +173,13 @@ def main(variant: str = "gru", batch_default: int = 512):
     import jax.numpy as jnp
 
     from show_tell_tpu.data.transforms import preprocess_images
-    from show_tell_tpu.models.captioner import (
-        CaptionerConfig,
-        captioner_greedy_decode,
-        init_captioner,
-    )
+    from show_tell_tpu.models.captioner import captioner_greedy_decode
 
-    cfg = CaptionerConfig(
-        variant=variant,
-        resnet_version=101,
-        embed_dim=256 if variant == "gru" else 512,
-        hidden_dim=512,
-        vocab_size=9956,
-        num_layers=5,
-    )
-    params, state = init_captioner(jax.random.PRNGKey(0), cfg)
-
-    compute_dtype = jnp.bfloat16
-    params = jax.tree.map(
-        lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x, params
-    )
-    state = jax.tree.map(lambda x: x.astype(compute_dtype), state)
+    cfg, params, state = _flagship_params(variant)
 
     @jax.jit
     def serve(images_u8, key):
-        images = preprocess_images(images_u8, key, augment=False, dtype=compute_dtype)
+        images = preprocess_images(images_u8, key, augment=False, dtype=jnp.bfloat16)
         return captioner_greedy_decode(params, state, cfg, images)
 
     batch_args = [a for a in sys.argv[1:] if a.isdigit()]
@@ -254,28 +264,19 @@ def bench_beam(beam: int = 3, batch: int = 256):
 
     from show_tell_tpu.data.transforms import preprocess_images
     from show_tell_tpu.decode.beam import beam_search_decode
-    from show_tell_tpu.models.captioner import CaptionerConfig, init_captioner
     from show_tell_tpu.models.encoder import encoder_forward
 
-    cfg = CaptionerConfig(
-        variant="gru", resnet_version=101, embed_dim=256, hidden_dim=512, vocab_size=9956, num_layers=5
-    )
-    params, state = init_captioner(jax.random.PRNGKey(0), cfg)
-    bf = jnp.bfloat16
-    params = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
-    state = jax.tree.map(lambda x: x.astype(bf), state)
+    cfg, params, state = _flagship_params()
 
     @jax.jit
     def serve(images_u8, key):
-        images = preprocess_images(images_u8, key, augment=False, dtype=bf)
+        images = preprocess_images(images_u8, key, augment=False, dtype=jnp.bfloat16)
         feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
         return beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam)
 
+    key = _warmup(serve, batch)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
-    key = jax.random.PRNGKey(0)
-    for i in range(12):
-        serve(images, jax.random.fold_in(key, i)).block_until_ready()
     dt = _median_time(serve, [(images, jax.random.fold_in(key, 100 + i)) for i in range(25)])
     cps = batch / dt
     print(

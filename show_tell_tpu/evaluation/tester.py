@@ -79,7 +79,8 @@ def make_test_step(
             feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
             if cfg.is_attention:  # framework extension: ref is greedy-only here
                 ids = attn_beam_search_decode(
-                    params["decoder"], cfg.decoder_config(), feats, beam_size, cfg.start_token
+                    params["decoder"], cfg.decoder_config(), feats, beam_size, cfg.start_token,
+                    use_pallas=use_pallas,
                 )
             else:
                 ids = beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam_size)

@@ -76,6 +76,18 @@ class CaptionerConfig(NamedTuple):
 
 def init_captioner(key: jax.Array, cfg: CaptionerConfig):
     """Returns (params, state): params = {'encoder': .., 'decoder': ..}."""
+    if cfg.is_attention:
+        # Spatial feature channels are set by the backbone: 512 for
+        # ResNet-18/34 (basic blocks), 2048 for 50/101/152 (bottleneck).
+        # The reference hits the same constraint as an opaque torch shape
+        # error; fail early with the fix spelled out.
+        expected = 512 if cfg.resnet_version in (18, 34) else 2048
+        if cfg.nos_filters != expected:
+            raise ValueError(
+                "nos_cnn_filters=%d does not match ResNet-%d's spatial feature "
+                "channels (%d); pass --nos_cnn_filters %d"
+                % (cfg.nos_filters, cfg.resnet_version, expected, expected)
+            )
     k_enc, k_dec = jax.random.split(key)
     enc_params, enc_state = init_encoder_params(k_enc, cfg.encoder_config())
     if cfg.is_attention:

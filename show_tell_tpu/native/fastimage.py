@@ -15,7 +15,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "libfastimage.so")
+from show_tell_tpu.native.build import LIB as _LIB_PATH  # ABI-versioned path
+
 _lib = None
 _lock = threading.Lock()
 _build_attempted = False
@@ -29,6 +30,10 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None:
             return _lib
         if not os.path.isfile(_LIB_PATH) and not _build_attempted:
+            # The path is ABI-versioned (build.py), so an old library on
+            # disk never satisfies this check — no rebuild-and-redlopen
+            # dance (dlopen caches by path and would return the stale
+            # handle).
             _build_attempted = True
             from show_tell_tpu.native.build import build
 
@@ -36,15 +41,6 @@ def _load() -> Optional[ctypes.CDLL]:
         if not os.path.isfile(_LIB_PATH):
             return None
         lib = ctypes.CDLL(_LIB_PATH)
-        if not hasattr(lib, "st_decode_resize2") and not _build_attempted:
-            # Stale .so from before the fast_scale ABI: rebuild in place.
-            _build_attempted = True
-            from show_tell_tpu.native.build import build
-
-            build(verbose=False)
-            lib = ctypes.CDLL(_LIB_PATH)
-        if not hasattr(lib, "st_decode_resize2"):
-            return None
         lib.st_decode_resize2.restype = ctypes.c_int
         lib.st_decode_resize2.argtypes = [
             ctypes.c_char_p,
@@ -85,7 +81,7 @@ def decode_resize(jpeg_bytes: bytes, out_h: int, out_w: int, fast_scale: bool = 
     """
     lib = _load()
     if lib is None:
-        raise RuntimeError("libfastimage.so unavailable (build failed?)")
+        raise RuntimeError("libfastimage unavailable (build failed?)")
     out = np.empty((out_h, out_w, 3), dtype=np.uint8)
     rc = lib.st_decode_resize2(
         jpeg_bytes,
@@ -110,7 +106,7 @@ def decode_resize_batch(
     """Threaded batch decode. Returns (uint8 [N, H, W, 3], statuses)."""
     lib = _load()
     if lib is None:
-        raise RuntimeError("libfastimage.so unavailable (build failed?)")
+        raise RuntimeError("libfastimage unavailable (build failed?)")
     n = len(jpeg_buffers)
     out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
     statuses = (ctypes.c_int * n)()

@@ -60,6 +60,8 @@ class Captioner:
         (tests/test_serve.py)."""
         self.cfg = cfg
         self.vocab = vocab
+        if early_exit and cfg.is_attention:
+            print("early_exit is not supported for attention variants; serving the full %d-step decode." % cfg.max_caption_length)
         self.early_exit = early_exit and not cfg.is_attention
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
@@ -203,17 +205,14 @@ class Captioner:
         words = create_caption_word_format(ids, self.vocab, False)
         return [" ".join(w) for w in words]
 
-    def caption_files(
-        self, paths: Sequence[str], beam_size: int = 0, fast_jpeg: bool = False
-    ) -> List[str]:
-        """JPEG file paths -> caption strings (native decode if built).
+    def load_files(self, paths: Sequence[str], fast_jpeg: bool = False) -> np.ndarray:
+        """JPEG file paths -> uint8 [N,224,224,3] (native decode if built).
 
         fast_jpeg: DCT-domain scaled decode — ~2x faster on the host,
         pixels within a few LSB of the full-resolution decode (see
         docs/DATA.md "JPEG decode paths")."""
         from show_tell_tpu.native import fastimage
 
-        imgs = []
         if fastimage.is_available():
             bufs = [open(p, "rb").read() for p in paths]
             batch, statuses = fastimage.decode_resize_batch(
@@ -222,10 +221,14 @@ class Captioner:
             for i, s in enumerate(statuses):
                 if s != 0:  # fall back to PIL for odd files
                     batch[i] = self._pil_load(paths[i])
-            imgs = batch
-        else:
-            imgs = np.stack([self._pil_load(p) for p in paths])
-        return self.caption(imgs, beam_size)
+            return batch
+        return np.stack([self._pil_load(p) for p in paths])
+
+    def caption_files(
+        self, paths: Sequence[str], beam_size: int = 0, fast_jpeg: bool = False
+    ) -> List[str]:
+        """JPEG file paths -> caption strings."""
+        return self.caption(self.load_files(paths, fast_jpeg), beam_size)
 
     @staticmethod
     def _pil_load(path: str) -> np.ndarray:
@@ -302,8 +305,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     B = max(1, args.batch_size)
     for lo in range(0, len(paths), B):
         chunk = paths[lo : lo + B]
-        padded = chunk + [chunk[-1]] * (B - len(chunk))  # static batch shape
-        captions = captioner.caption_files(padded, args.beam_size, fast_jpeg=bool(args.fast_jpeg))[: len(chunk)]
+        imgs = captioner.load_files(chunk, fast_jpeg=bool(args.fast_jpeg))
+        if len(chunk) < B:  # pad decoded pixels, not paths: static batch
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], B - len(chunk), axis=0)])
+        captions = captioner.caption(imgs, args.beam_size)[: len(chunk)]
         for path, cap in zip(chunk, captions):
             if args.json:
                 print(_json.dumps({"image": path, "caption": cap}))

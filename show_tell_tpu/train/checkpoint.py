@@ -49,7 +49,7 @@ def create_checkpoint(
     ``model_<epoch>.orbax/`` directory — the TPU-idiomatic path, handles
     sharded arrays natively at multi-chip scale)."""
     if params.get("ckpt_format", "pickle") == "orbax":
-        model_file = _create_checkpoint_orbax(train_state, epoch, step, params)
+        model_file = _create_checkpoint_orbax(train_state, epoch, step, params, extra)
     else:
         model_file = os.path.join(params["output_dir"], "model_%d.ckpt" % epoch)
         payload = {
@@ -73,19 +73,25 @@ def create_checkpoint(
     return model_file
 
 
-def _create_checkpoint_orbax(train_state, epoch: int, step: int, params: Dict[str, Any]) -> str:
+def _create_checkpoint_orbax(
+    train_state, epoch: int, step: int, params: Dict[str, Any], extra: Optional[Dict[str, Any]] = None
+) -> str:
     """model_<epoch>.orbax/ via orbax StandardCheckpointer.
 
     The optimizer state is stored as a flat leaf list (optax chain states
     are namedtuples orbax would round-trip as dicts; the live treedef
-    reconstructs them on restore)."""
+    reconstructs them on restore).  Written atomically like the pickle
+    backend: save lands in a .tmp directory which replaces any existing
+    same-epoch checkpoint only once complete — a crash mid-save never
+    destroys the previous copy."""
     import shutil
 
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(params["output_dir"], "model_%d.orbax" % epoch))
-    if os.path.isdir(path):
-        shutil.rmtree(path)
+    tmp = path + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
     payload = {
         "encoder_trainable": _to_numpy(train_state.trainable["encoder"]),
         "encoder_frozen": _to_numpy(train_state.frozen["encoder"]),
@@ -95,9 +101,20 @@ def _create_checkpoint_orbax(train_state, epoch: int, step: int, params: Dict[st
         "epoch": np.int64(epoch),
         "step": np.int64(step),
     }
+    if extra:
+        payload["extra"] = {k: np.asarray(v) for k, v in extra.items()}
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, payload)
+    ckptr.save(tmp, payload)
     ckptr.wait_until_finished()
+    if os.path.isdir(path):
+        old = path + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
     return path
 
 
@@ -106,7 +123,7 @@ def _load_checkpoint_orbax(path: str) -> Dict[str, Any]:
 
     ckptr = ocp.StandardCheckpointer()
     raw = ckptr.restore(os.path.abspath(path))
-    return {
+    out = {
         "format": "show_tell_tpu.orbax",
         "encoder_state_dict": {
             "trainable": raw["encoder_trainable"],
@@ -118,6 +135,8 @@ def _load_checkpoint_orbax(path: str) -> Dict[str, Any]:
         "epoch": int(raw["epoch"]),
         "step": int(raw["step"]),
     }
+    out.update(raw.get("extra") or {})  # same surface as the pickle backend
+    return out
 
 
 def resolve_checkpoint_path(output_dir: str, name: str) -> str:
@@ -140,34 +159,41 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def _list_checkpoints(output_dir: str):
-    """[(epoch, path)] for model_<N>.ckpt files and model_<N>.orbax
-    directories, ascending by epoch."""
+    """{epoch: [paths]} for model_<N>.ckpt files and model_<N>.orbax
+    directories.  A same-epoch .ckpt/.orbax pair (format switched
+    mid-run) is ONE epoch with two paths — retention and auto-resume
+    count epochs, not files."""
     import re
 
-    out = []
-    for name in os.listdir(output_dir):
+    out: Dict[int, list] = {}
+    for name in sorted(os.listdir(output_dir)):
         m = re.fullmatch(r"model_(\d+)\.(ckpt|orbax)", name)
         if m:
-            out.append((int(m.group(1)), os.path.join(output_dir, name)))
-    return sorted(out)
+            out.setdefault(int(m.group(1)), []).append(os.path.join(output_dir, name))
+    return out
 
 
 def find_latest_checkpoint(output_dir: str) -> Optional[str]:
-    """Newest model_<N>.ckpt, for --resume_model_train auto (the
-    reference's recovery story is manual name-picking, SURVEY.md §5)."""
+    """Newest-epoch checkpoint, for --resume_model_train auto (the
+    reference's recovery story is manual name-picking, SURVEY.md §5).
+    When the newest epoch exists in both formats, the pickle wins —
+    same preference as resolve_checkpoint_path."""
     ckpts = _list_checkpoints(output_dir)
-    return ckpts[-1][1] if ckpts else None
+    if not ckpts:
+        return None
+    return resolve_checkpoint_path(output_dir, "model_%d" % max(ckpts))
 
 
 def prune_checkpoints(output_dir: str, keep_last: int) -> None:
     """Retention policy (the reference has none): keep the newest
-    ``keep_last`` model_<N>.ckpt files (+ their metrics files)."""
+    ``keep_last`` checkpoint *epochs* (+ their metrics files)."""
     if keep_last <= 0:
         return
     import shutil
 
-    for epoch, path in _list_checkpoints(output_dir)[:-keep_last]:
-        for p in (path, os.path.join(output_dir, "model_%d_metrics.ckpt" % epoch)):
+    ckpts = _list_checkpoints(output_dir)
+    for epoch in sorted(ckpts)[:-keep_last]:
+        for p in ckpts[epoch] + [os.path.join(output_dir, "model_%d_metrics.ckpt" % epoch)]:
             if os.path.isdir(p):
                 shutil.rmtree(p)
             elif os.path.isfile(p):

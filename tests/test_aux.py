@@ -282,3 +282,55 @@ def test_reproduce_reference_dry_run():
         capture_output=True, text=True, cwd=repo, timeout=120,
     )
     assert "cli.main_lstm" in out.stdout and "--optimizer_type Adam" in out.stdout
+
+
+def test_mixed_format_retention_counts_epochs(tmp_path):
+    """A same-epoch .ckpt/.orbax pair is ONE epoch for retention and
+    auto-resume; the pickle wins format-preference at the same epoch
+    (matching resolve_checkpoint_path)."""
+    import os
+
+    from show_tell_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        prune_checkpoints,
+    )
+
+    for epoch in (1, 2, 3):
+        with open(tmp_path / ("model_%d.ckpt" % epoch), "wb") as f:
+            pickle.dump({"epoch": epoch}, f)
+    os.makedirs(tmp_path / "model_3.orbax")  # epoch 3 in both formats
+
+    assert find_latest_checkpoint(str(tmp_path)).endswith("model_3.ckpt")
+
+    prune_checkpoints(str(tmp_path), keep_last=2)
+    remaining = sorted(p.name for p in tmp_path.iterdir())
+    # Two *epochs* kept (2 and 3) — not two directory entries of epoch 3.
+    assert remaining == ["model_2.ckpt", "model_3.ckpt", "model_3.orbax"]
+
+
+def test_orbax_extra_payload_and_atomic_rewrite(tmp_path, tiny_cfg_state=None):
+    """Orbax backend keeps the `extra` payload (pickle-backend parity)
+    and re-saving the same epoch replaces the old copy via tmp+rename
+    (no window with zero checkpoints)."""
+    import jax
+
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.train.checkpoint import create_checkpoint, load_checkpoint
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state
+
+    cfg = CaptionerConfig(variant="gru", resnet_version=18, embed_dim=8,
+                          hidden_dim=12, vocab_size=20, num_layers=1)
+    ts = create_train_state(jax.random.PRNGKey(0), cfg, make_optimizer("SGD", 0.1, 0.9))
+    params = {"output_dir": str(tmp_path), "ckpt_format": "orbax"}
+
+    path = create_checkpoint(ts, 1, 10, [1.0], params, extra={"best_bleu": 0.5})
+    ckpt = load_checkpoint(path)
+    assert float(ckpt["best_bleu"]) == 0.5
+
+    # Same-epoch rewrite: succeeds and leaves exactly one model_1.orbax.
+    create_checkpoint(ts, 1, 20, [1.0, 0.9], params, extra={"best_bleu": 0.7})
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["model_1.orbax", "model_1_metrics.ckpt"]
+    assert float(load_checkpoint(path)["best_bleu"]) == 0.7
+    assert load_checkpoint(path)["step"] == 20

@@ -76,3 +76,18 @@ def test_extension_beam_keeps_batch_size():
 def test_fast_jpeg_flag():
     assert load_params([], variant="gru")["fast_jpeg"] == 0  # parity default
     assert load_params(["--fast_jpeg", "1"], variant="attn")["fast_jpeg"] == 1
+
+
+def test_attention_channel_mismatch_errors_early():
+    """ResNet-18/34 spatial features are 512-channel; a default
+    nos_cnn_filters=2048 attention config must fail with an actionable
+    message instead of an opaque dot shape error."""
+    import jax
+    import pytest
+
+    from show_tell_tpu.models.captioner import CaptionerConfig, init_captioner
+
+    cfg = CaptionerConfig(variant="attn", resnet_version=18, embed_dim=8,
+                          hidden_dim=12, vocab_size=20, num_layers=1)
+    with pytest.raises(ValueError, match="nos_cnn_filters 512"):
+        init_captioner(jax.random.PRNGKey(0), cfg)
