@@ -98,6 +98,10 @@ def train(
     timer = StepTimer()
     start_time = time.time()
     print("Training started.")
+    # --profile_dir: capture a jax profiler trace of steps 2-6 of the
+    # first epoch (step 1 is compile) — view with tensorboard/xprof.
+    profile_dir = str(params.get("profile_dir", "") or "")
+    tracing = False
     idx = -1
     for epoch in range(params["num_epochs"]):
         print("Epoch %d started." % (epoch + 1))
@@ -118,6 +122,13 @@ def train(
                 ts, loss = step(ts, images, captions, lengths)
                 loss = float(loss)  # device sync: keeps timings honest
             train_loss.append(loss)
+            if profile_dir and epoch == 0:
+                if idx + 1 == 1:
+                    jax.profiler.start_trace(profile_dir)
+                    tracing = True
+                elif tracing and idx + 1 >= 6:
+                    jax.profiler.stop_trace()
+                    tracing = False
             if (idx + 1) % 5000 == 0:
                 create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
             if (idx + 1) % 500 == 0 or (idx + 1) == len(train_data_loader):
@@ -126,6 +137,9 @@ def train(
                     % (epoch + 1, idx + 1, train_loss[-1], time.time() - start_time)
                 )
                 logger.log("train_step", step=idx + 1, epoch=epoch + 1, loss=train_loss[-1], timing=timer.summary())
+        if tracing:  # epoch shorter than the 6-step trace window
+            jax.profiler.stop_trace()
+            tracing = False
         print("Epoch %d - %0.4f loss, %.2f time. " % (epoch + 1, np.mean(train_loss), time.time() - start_time))
         logger.log(
             "epoch",

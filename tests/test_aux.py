@@ -334,3 +334,32 @@ def test_orbax_extra_payload_and_atomic_rewrite(tmp_path, tiny_cfg_state=None):
     assert names == ["model_1.orbax", "model_1_metrics.ckpt"]
     assert float(load_checkpoint(path)["best_bleu"]) == 0.7
     assert load_checkpoint(path)["step"] == 20
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """--profile_dir captures a jax profiler trace of early train steps."""
+    import os
+
+    from fixtures import build_mini_coco
+    from show_tell_tpu.cli.run import run
+
+    data_root = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    prof_dir = str(tmp_path / "prof")
+    build_mini_coco(data_root)
+    run(
+        "gru",
+        [
+            "--data_dir", data_root, "--output_dir", out_dir,
+            "--train_ann_path", "annotations/captions_train2014.json",
+            "--test_ann_path", "annotations/captions_train2014.json",
+            "--train_img_dir", "train2014", "--test_img_dir", "train2014",
+            "--vocab_threshold", "1", "--embedding_length", "8",
+            "--num_hidden_units", "12", "--num_layers", "1", "--batch_size", "4",
+            "--num_epochs", "1", "--resnet_version", "18",
+            "--is_training", "1", "--is_testing", "0",
+            "--profile_dir", prof_dir,
+        ],
+    )
+    traces = [os.path.join(r, f) for r, _, fs in os.walk(prof_dir) for f in fs]
+    assert traces, "no profiler trace written"
