@@ -98,15 +98,16 @@ def _flagship_serve(batch: int, warmup: int = 12):
     return cfg, serve, key
 
 
-def bench_train(batch: int = 128, variant: str = "gru"):
+def bench_train(batch: int = 256, variant: str = "gru"):
     """Secondary mode (`python bench.py --train [B]` / `--train_attn`):
     full train-step throughput in f32 (parity dtype).  Reference
     baseline: ~402 samples/s on an RTX 2080 (28.6h for 100 epochs x 414k
     samples, BASELINE.md).
     Note: measure in a FRESH process, and expect run-to-run variance on
-    this shared TPU pool (B=256 measured anywhere from 31 to 730 ms/step
-    across identical work).  B=128-192 measures consistently fast
-    (~8k samples/s); prefer it per chip and scale batch via dp."""
+    this shared TPU pool (~1.5x absolute swing hour-to-hour; an early
+    round-2 session saw 31-730ms/step at identical B=256 work).  Across
+    later fresh-run pairs B=256 consistently beats B=128 (best 9,310
+    samples/s @ 0.851 MFU vs 8,100); B=384+ degrades."""
     import jax
 
     from show_tell_tpu.models.captioner import CaptionerConfig
@@ -387,7 +388,7 @@ if __name__ == "__main__":
         bench_train(int(args[0]) if args else 128, variant="attn")
     elif "--train" in sys.argv:
         args = [a for a in sys.argv[1:] if a not in ("--train",)]
-        bench_train(int(args[0]) if args else 128)
+        bench_train(int(args[0]) if args else 256)
     elif "--latency" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--latency"]
         bench_latency(int(args[0]) if args else 8)
