@@ -56,6 +56,7 @@ class MSCOCO:
         train: bool = True,
         use_native_decode: Optional[bool] = None,
         fast_jpeg: bool = False,
+        image_cache: Optional[str] = None,
     ):
         self.data_path = data_path
         self.vocab = vocab
@@ -71,6 +72,16 @@ class MSCOCO:
         coco = CocoCaptions(ann_path)
         self.annotation_ids = list(coco.anns.keys())
         self.annotation_obj = coco
+        # --image_cache DIR: decode each JPEG once per DATASET, not ~5x
+        # per epoch x 100 epochs (annotation-keyed sampling shares images
+        # across samples; device-side augmentation makes pre-augment uint8
+        # pixels epoch-invariant). See data/image_cache.py.
+        self.image_cache = None
+        if image_cache:
+            from show_tell_tpu.data.image_cache import ImageCache
+
+            names = [img["file_name"] for img in coco.imgs.values()]
+            self.image_cache = ImageCache(image_cache, names, IMAGE_SIZE)
 
     def __len__(self) -> int:
         return len(self.annotation_ids)
@@ -82,6 +93,17 @@ class MSCOCO:
         return [v("<start>")] + [v(t) for t in tokens] + [v("<end>")]
 
     def _load_image(self, full_path: str) -> np.ndarray:
+        if self.image_cache is not None:
+            name = os.path.basename(full_path)
+            cached = self.image_cache.get(name)
+            if cached is not None:
+                return cached
+            img = self._decode_image(full_path)
+            self.image_cache.put(name, img)
+            return img
+        return self._decode_image(full_path)
+
+    def _decode_image(self, full_path: str) -> np.ndarray:
         if self.use_native_decode:
             # Native libjpeg decode + PIL-equivalent antialiased bilinear
             # resize (within 1 LSB of PIL); releases the GIL and thread-
@@ -213,18 +235,38 @@ class DataLoader:
         ds = self.dataset
         metas = [ds.sample_meta(int(i)) for i in idxs]
 
+        cache = ds.image_cache
+        cached: Dict[int, np.ndarray] = {}
+        todo = list(range(len(metas)))
+        if cache is not None:
+            todo = []
+            for k, (path, _) in enumerate(metas):
+                img = cache.get(path)
+                if img is None:
+                    todo.append(k)
+                else:
+                    cached[k] = img
+
         def read(path: str) -> bytes:
             with open(os.path.join(ds.data_path, path), "rb") as f:
                 return f.read()
 
-        bufs = list(pool.map(read, [m[0] for m in metas]))
-        images, statuses = native_fastimage.decode_resize_batch(
-            bufs, IMAGE_SIZE, IMAGE_SIZE, n_threads=self.num_workers, fast_scale=ds.fast_jpeg
-        )
-        samples = []
-        for k, (path, caption) in enumerate(metas):
-            img = images[k] if statuses[k] == 0 else ds._load_image(os.path.join(ds.data_path, path))
-            samples.append((path, img, caption))
+        images, statuses = None, []
+        if todo:
+            bufs = list(pool.map(read, [metas[k][0] for k in todo]))
+            images, statuses = native_fastimage.decode_resize_batch(
+                bufs, IMAGE_SIZE, IMAGE_SIZE, n_threads=self.num_workers, fast_scale=ds.fast_jpeg
+            )
+        samples: List[Tuple[str, np.ndarray, List[int]]] = [None] * len(metas)  # type: ignore[list-item]
+        for j, k in enumerate(todo):
+            path, caption = metas[k]
+            img = images[j] if statuses[j] == 0 else ds._decode_image(os.path.join(ds.data_path, path))
+            if cache is not None:
+                cache.put(path, img)
+            samples[k] = (path, img, caption)
+        for k, img in cached.items():
+            path, caption = metas[k]
+            samples[k] = (path, img, caption)
         return samples
 
     def __iter__(self) -> Iterator[Tuple[Tuple[str, ...], np.ndarray, np.ndarray, np.ndarray]]:
@@ -248,10 +290,16 @@ class DataLoader:
             return False
 
         def producer():
+            # A load failure must NOT masquerade as end-of-epoch: enqueue
+            # the exception and re-raise it in the consumer, else a single
+            # corrupt file silently truncates every epoch at that batch.
             try:
                 for idxs in batches:
                     if stop.is_set() or not put_or_stop(self._load_batch(idxs, pool)):
                         return
+            except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
+                put_or_stop(e)
+                return
             finally:
                 put_or_stop(sentinel)
 
@@ -265,6 +313,8 @@ class DataLoader:
                 item = q.get()
                 if item is sentinel:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
@@ -274,9 +324,13 @@ class DataLoader:
 def get_data_loader(vocab, params: Dict[str, Any], run_type: str) -> DataLoader:
     """Loader factory mirroring reference utils.py:79-103."""
     fast_jpeg = bool(params.get("fast_jpeg", 0))
+    # One cache subdirectory per split: train/test index different images.
+    cache_root = str(params.get("image_cache", "") or "")
+    cache_for = lambda split: os.path.join(cache_root, split) if cache_root else None
     if run_type == "train":
         dataset = MSCOCO(
-            params["ann_path_train"], params["data_path_train"], vocab, train=True, fast_jpeg=fast_jpeg
+            params["ann_path_train"], params["data_path_train"], vocab, train=True,
+            fast_jpeg=fast_jpeg, image_cache=cache_for("train"),
         )
         return DataLoader(
             dataset,
@@ -289,7 +343,8 @@ def get_data_loader(vocab, params: Dict[str, Any], run_type: str) -> DataLoader:
         )
     elif run_type == "test":
         dataset = MSCOCO(
-            params["ann_path_test"], params["data_path_test"], vocab, train=False, fast_jpeg=fast_jpeg
+            params["ann_path_test"], params["data_path_test"], vocab, train=False,
+            fast_jpeg=fast_jpeg, image_cache=cache_for("test"),
         )
         return DataLoader(
             dataset,

@@ -1,0 +1,73 @@
+"""On-disk decoded-image cache: JPEG decode once, train 100 epochs.
+
+The dataset is annotation-keyed (reference utils.py:32 — one sample per
+caption, ~5 captions per COCO image), so the naive pipeline decodes the
+SAME image ~5x per epoch and re-decodes everything every epoch.  Because
+augmentation (random flips, normalize) runs on device inside the jitted
+step (data/transforms.py), the host-side product per image is a fixed
+pre-augment uint8 224x224x3 array — exactly cacheable.  This cache
+memmaps one [n_images, H, W, 3] uint8 file per dataset; first touch
+decodes and fills the row, every later access (same epoch or any later
+epoch) is a page-cached memcpy.  ~150KB/image (~12.5GB for COCO
+train2014) on disk; opt-in via --image_cache DIR.
+
+Thread-safety: loader threads may decode the same image concurrently
+(two captions of one image in one batch) — both write identical bytes,
+and the valid flag is set only after the row write, so the benign race
+costs at most a duplicate decode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+class ImageCache:
+    """Memmap-backed uint8 image cache keyed by image file name."""
+
+    def __init__(self, cache_dir: str, file_names: List[str], image_size: int):
+        os.makedirs(cache_dir, exist_ok=True)
+        self.image_size = image_size
+        names = sorted(set(file_names))
+        self.row = {name: i for i, name in enumerate(names)}
+        n = len(names)
+        index_path = os.path.join(cache_dir, "index.json")
+        data_path = os.path.join(cache_dir, "images_u8.dat")
+        valid_path = os.path.join(cache_dir, "valid.dat")
+        index = {"image_size": image_size, "files": names}
+        if os.path.isfile(index_path):
+            with open(index_path) as f:
+                on_disk = json.load(f)
+            if on_disk != index:
+                raise ValueError(
+                    "image cache at %s was built for a different dataset or size; "
+                    "point --image_cache at a fresh directory" % cache_dir
+                )
+        else:
+            with open(index_path + ".tmp", "w") as f:
+                json.dump(index, f)
+            os.replace(index_path + ".tmp", index_path)
+        shape = (n, image_size, image_size, 3)
+        mode = "r+" if os.path.isfile(data_path) else "w+"
+        self.data = np.memmap(data_path, dtype=np.uint8, mode=mode, shape=shape)
+        vmode = "r+" if os.path.isfile(valid_path) else "w+"
+        self.valid = np.memmap(valid_path, dtype=np.uint8, mode=vmode, shape=(n,))
+
+    def get(self, file_name: str) -> Optional[np.ndarray]:
+        """Cached pixels for this image, or None on first touch."""
+        i = self.row[file_name]
+        if self.valid[i]:
+            return np.asarray(self.data[i])
+        return None
+
+    def put(self, file_name: str, image: np.ndarray) -> None:
+        i = self.row[file_name]
+        self.data[i] = image
+        self.valid[i] = 1  # after the row write: readers never see torn rows
+
+    def hit_fraction(self) -> float:
+        return float(np.mean(self.valid))

@@ -49,6 +49,14 @@ def create_caption_word_format(tokenized, vocab, flag_blue: bool = False) -> Lis
     return caption_words
 
 
+# make_test_step returns a fresh @jax.jit closure each call; the in-train
+# eval (every 5 epochs, cli/run.py) calls test_model repeatedly with
+# identical (cfg, flags), and each fresh closure would pay a full XLA
+# recompile (~20-40s through the remote-compile tunnel). Memoize on the
+# full argument key — CaptionerConfig is a hashable NamedTuple.
+_TEST_STEP_CACHE: Dict[tuple, Any] = {}
+
+
 def make_test_step(
     cfg: CaptionerConfig,
     beam_size: int = 0,
@@ -67,6 +75,10 @@ def make_test_step(
     batch pays for ONE ResNet forward)."""
 
     dtype = compute_dtype or jnp.float32
+    cache_key = (cfg, beam_size, augment, use_pallas, dtype, loss_only)
+    cached = _TEST_STEP_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
     @jax.jit
     def run(trainable, frozen, bn_state, images_u8, captions, lengths, key):
@@ -88,6 +100,7 @@ def make_test_step(
             ids = captioner_greedy_decode(params, bn_state, cfg, images, use_pallas=use_pallas)
         return loss, ids
 
+    _TEST_STEP_CACHE[cache_key] = run
     return run
 
 

@@ -115,12 +115,7 @@ def encoder_params_from_torch(state_dict: Dict[str, Any], cfg: EncoderConfig):
     Sequential index N maps back to torchvision names positionally:
     0=conv1 1=bn1 4..7=layer1..4 (2=relu, 3=maxpool have no params).
     """
-    import numpy as np
-
-    def _np(v):
-        # np.array copies — jnp.asarray of a torch-memory view can be
-        # zero-copy on CPU and would alias torch's in-place updates.
-        return np.array(v.detach().cpu().numpy()) if hasattr(v, "detach") else np.asarray(v)
+    from show_tell_tpu.models.convert import _np  # the one copying helper
 
     seq_map = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2", "6": "layer3", "7": "layer4"}
     tv_sd = {}

@@ -207,10 +207,7 @@ def resnet_params_from_torch(state_dict: Dict[str, Any]):
     (the reference strips fc, cnn.py:34).
     """
 
-    def _np(v):
-        # np.array copies — jnp.asarray of a torch-memory view can be
-        # zero-copy on CPU and would alias torch's in-place updates.
-        return np.array(v.detach().cpu().numpy()) if hasattr(v, "detach") else np.asarray(v)
+    from show_tell_tpu.models.convert import _np  # the one copying helper
 
     params: Dict[str, jax.Array] = {}
     state: Dict[str, jax.Array] = {}

@@ -194,6 +194,13 @@ class Captioner:
         if self.mesh is not None:
             from show_tell_tpu.parallel.mesh import shard_batch
 
+            dp = self.mesh.shape["dp"]
+            if len(images_u8) % dp:
+                raise ValueError(
+                    "serving batch of %d does not divide over dp=%d; pass a batch "
+                    "that is a multiple of dp (pad with repeated images and slice "
+                    "the outputs, as the CLI does)" % (len(images_u8), dp)
+                )
             images = shard_batch(self.mesh, np.asarray(images_u8))
         else:
             images = jnp.asarray(images_u8)
@@ -303,6 +310,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     )
 
     B = max(1, args.batch_size)
+    if args.dp > 1 and B % args.dp:
+        B += args.dp - B % args.dp  # batches shard over dp; round up
+        print("batch_size rounded up to %d (multiple of dp=%d)" % (B, args.dp), file=sys.stderr)
     for lo in range(0, len(paths), B):
         chunk = paths[lo : lo + B]
         imgs = captioner.load_files(chunk, fast_jpeg=bool(args.fast_jpeg))

@@ -106,10 +106,14 @@ def _create_checkpoint_orbax(
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(tmp, payload)
     ckptr.wait_until_finished()
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     if os.path.isdir(path):
-        old = path + ".old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        # Directory renames can't atomically replace a non-empty target;
+        # the .old copy stays resolvable (_list_checkpoints falls back to
+        # it) so a crash between these renames still leaves a complete
+        # same-epoch checkpoint discoverable.
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
@@ -141,13 +145,18 @@ def _load_checkpoint_orbax(path: str) -> Dict[str, Any]:
 
 def resolve_checkpoint_path(output_dir: str, name: str) -> str:
     """``model_N`` -> the existing ``model_N.ckpt`` file or
-    ``model_N.orbax`` directory (pickle wins when both exist)."""
+    ``model_N.orbax`` directory (pickle wins when both exist).
+    ``model_N.orbax.old`` is the crash-recovery fallback: a kill between
+    the two directory renames of an orbax same-epoch rewrite leaves the
+    previous complete copy there."""
     pickle_path = os.path.join(output_dir, name + ".ckpt")
     if os.path.isfile(pickle_path):
         return pickle_path
     orbax_path = os.path.join(output_dir, name + ".orbax")
     if os.path.isdir(orbax_path):
         return orbax_path
+    if os.path.isdir(orbax_path + ".old"):
+        return orbax_path + ".old"
     return pickle_path  # default error surface: missing-file message
 
 
@@ -166,10 +175,17 @@ def _list_checkpoints(output_dir: str):
     import re
 
     out: Dict[int, list] = {}
+    recovery: Dict[int, str] = {}
     for name in sorted(os.listdir(output_dir)):
         m = re.fullmatch(r"model_(\d+)\.(ckpt|orbax)", name)
         if m:
             out.setdefault(int(m.group(1)), []).append(os.path.join(output_dir, name))
+            continue
+        m = re.fullmatch(r"model_(\d+)\.orbax\.old", name)
+        if m:  # crash-recovery copy (see _create_checkpoint_orbax)
+            recovery[int(m.group(1))] = os.path.join(output_dir, name)
+    for epoch, path in recovery.items():
+        out.setdefault(epoch, []).append(path)
     return out
 
 

@@ -363,3 +363,38 @@ def test_profile_dir_writes_trace(tmp_path):
     )
     traces = [os.path.join(r, f) for r, _, fs in os.walk(prof_dir) for f in fs]
     assert traces, "no profiler trace written"
+
+
+def test_orbax_crash_recovery_old_copy_resolves(tmp_path):
+    """A kill between the two directory renames of an orbax same-epoch
+    rewrite leaves model_N.orbax.old; resolve/find_latest must fall back
+    to it instead of silently resuming an older epoch."""
+    import os
+
+    from show_tell_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        resolve_checkpoint_path,
+    )
+
+    os.makedirs(tmp_path / "model_2.orbax.old")  # crash window artifact
+    with open(tmp_path / "model_1.ckpt", "wb") as f:
+        pickle.dump({"epoch": 1}, f)
+    assert find_latest_checkpoint(str(tmp_path)).endswith("model_2.orbax.old")
+    assert resolve_checkpoint_path(str(tmp_path), "model_2").endswith("model_2.orbax.old")
+
+
+def test_test_step_is_cached_across_test_model_calls():
+    """Repeated evals with identical config reuse one jitted step (no
+    recompile per in-training eval)."""
+    import jax.numpy as jnp
+
+    from show_tell_tpu.evaluation.tester import make_test_step
+    from show_tell_tpu.models.captioner import CaptionerConfig
+
+    cfg = CaptionerConfig(variant="gru", resnet_version=18, embed_dim=8,
+                          hidden_dim=12, vocab_size=20, num_layers=1)
+    a = make_test_step(cfg, 0, augment=True, compute_dtype=jnp.float32)
+    b = make_test_step(cfg, 0, augment=True, compute_dtype=jnp.float32)
+    assert a is b
+    c = make_test_step(cfg, 2, augment=True, compute_dtype=jnp.float32)
+    assert c is not a

@@ -127,3 +127,80 @@ def test_loader_early_break_stops_producer(mini):
 
     loader.close()
     assert loader._pool is None
+
+
+def test_loader_propagates_producer_exception(tmp_path):
+    """A load failure mid-epoch must raise in the consumer, not silently
+    truncate the epoch (the producer used to convert any exception into
+    end-of-epoch via its sentinel)."""
+    import os
+
+    import pytest
+
+    from fixtures import build_mini_coco, mini_params
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.vocab import get_vocabulary
+
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"))
+    vocab = get_vocabulary("MSCOCO", params)
+    ds = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab)
+    # Remove an image consumed by the second batch.
+    victim, _ = ds.sample_meta(6)
+    os.remove(os.path.join(params["data_path_train"], victim))
+
+    loader = DataLoader(ds, batch_size=4, shuffle=False)
+    with pytest.raises(FileNotFoundError):
+        for _ in loader:
+            pass
+    loader.close()
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_image_cache_decode_once_then_serve_from_cache(tmp_path, native):
+    """--image_cache: batches are identical with and without the cache;
+    after one full pass the JPEGs can be DELETED and every later epoch
+    still yields the same pixels (decode-once semantics)."""
+    import os
+    import shutil
+
+    from fixtures import build_mini_coco, mini_params
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.vocab import get_vocabulary
+
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"))
+    vocab = get_vocabulary("MSCOCO", params)
+
+    kw = dict(use_native_decode=native)
+    ds_plain = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab, **kw)
+    ds_cache = MSCOCO(
+        params["ann_path_train"], params["data_path_train"], vocab,
+        image_cache=str(tmp_path / "cache"), **kw,
+    )
+    lp = DataLoader(ds_plain, batch_size=4, shuffle=False)
+    lc = DataLoader(ds_cache, batch_size=4, shuffle=False)
+    plain = list(lp)
+    first = list(lc)
+    for (pp, ip, cp, sp), (pc, ic, cc, sc) in zip(plain, first):
+        assert pp == pc
+        np.testing.assert_array_equal(ip, ic)
+        np.testing.assert_array_equal(cp, cc)
+    assert ds_cache.image_cache.hit_fraction() == 1.0
+
+    # Epoch 2 with the JPEGs gone: served entirely from the cache.
+    shutil.rmtree(params["data_path_train"])
+    second = list(lc)
+    for (_, i1, _, _), (_, i2, _, _) in zip(first, second):
+        np.testing.assert_array_equal(i1, i2)
+    lp.close(), lc.close()
+
+
+def test_image_cache_rejects_mismatched_dataset(tmp_path):
+    from show_tell_tpu.data.image_cache import ImageCache
+
+    ImageCache(str(tmp_path / "c"), ["a.jpg", "b.jpg"], 224)
+    with pytest.raises(ValueError, match="different dataset"):
+        ImageCache(str(tmp_path / "c"), ["a.jpg", "c.jpg"], 224)
+    with pytest.raises(ValueError, match="different dataset"):
+        ImageCache(str(tmp_path / "c"), ["a.jpg", "b.jpg"], 128)

@@ -270,3 +270,16 @@ def test_serve_cli(trained, capsys):
     out = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert [o["image"] for o in out] == three
     assert all(isinstance(o["caption"], str) for o in out)
+
+
+def test_captioner_dp_batch_divisibility_error(trained):
+    data_root, out_dir = trained
+    cap = Captioner.from_checkpoint(
+        os.path.join(out_dir, "model_1.ckpt"),
+        os.path.join(out_dir, "vocab.pkl"),
+        variant="gru", resnet_version=18, embed_dim=16, hidden_dim=24,
+        num_layers=1, compute_dtype="float32", dp=2,
+    )
+    images = np.zeros((3, 224, 224, 3), dtype=np.uint8)  # 3 % dp(2) != 0
+    with pytest.raises(ValueError, match="dp=2"):
+        cap.caption_ids(images)
