@@ -292,6 +292,42 @@ def bench_beam(beam: int = 3, batch: int = 256):
     )
 
 
+def _make_jpeg_dataset(n_images: int, prefix: str = "bench_input_"):
+    """Synthetic COCO-shaped dataset of 640x480 q90 JPEGs (one caption
+    per image).  Smooth gradient + noise approximates photo JPEG entropy
+    (pure noise decodes ~2x slower than photos; pure gradients ~2x
+    faster).  Returns (ann_path, img_dir, images_meta)."""
+    import os
+    import tempfile
+
+    from PIL import Image
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    images_meta, anns = [], []
+    yy, xx = np.mgrid[0:480, 0:640]
+    for i in range(n_images):
+        base = (yy[..., None] * 0.3 + xx[..., None] * 0.2 + np.array([i % 97, i % 53, i % 31]) * 2)
+        arr = (base % 256 + rng.randint(0, 60, (480, 640, 3))).astype(np.uint8)
+        fname = "img_%05d.jpg" % i
+        Image.fromarray(arr).save(os.path.join(img_dir, fname), quality=90)
+        images_meta.append({"id": i, "file_name": fname})
+        anns.append({"id": i, "image_id": i, "caption": "a synthetic benchmark image number %d" % i})
+    ann_path = os.path.join(root, "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump({"images": images_meta, "annotations": anns}, f)
+    return ann_path, img_dir, images_meta
+
+
+class _MiniVocab:  # minimal vocab: ids irrelevant to throughput
+    word_to_index = {"<pad>": 0, "<start>": 1, "<end>": 2, "<unk>": 3}
+
+    def __call__(self, w):
+        return self.word_to_index.get(w, 3)
+
+
 def bench_input(batch: int = 64, n_images: int = 512):
     """`python bench.py --input [B]`: host input pipeline end-to-end —
     JPEG bytes on disk -> native threaded decode+resize -> uint8 H2D ->
@@ -305,41 +341,17 @@ def bench_input(batch: int = 64, n_images: int = 512):
     requirement for chip saturation is explicit.
     """
     import os
-    import tempfile
 
     import jax
     import jax.numpy as jnp
-    from PIL import Image
 
     from show_tell_tpu.data.dataset import MSCOCO, DataLoader
 
     batch = max(1, min(batch, n_images))
-    root = tempfile.mkdtemp(prefix="bench_input_")
-    img_dir = os.path.join(root, "imgs")
-    os.makedirs(img_dir)
-    rng = np.random.RandomState(0)
-    images_meta, anns = [], []
-    yy, xx = np.mgrid[0:480, 0:640]
-    for i in range(n_images):
-        # Smooth gradient + noise: realistic JPEG entropy (pure noise
-        # decodes ~2x slower than photos; pure gradients ~2x faster).
-        base = (yy[..., None] * 0.3 + xx[..., None] * 0.2 + np.array([i % 97, i % 53, i % 31]) * 2)
-        arr = (base % 256 + rng.randint(0, 60, (480, 640, 3))).astype(np.uint8)
-        fname = "img_%05d.jpg" % i
-        Image.fromarray(arr).save(os.path.join(img_dir, fname), quality=90)
-        images_meta.append({"id": i, "file_name": fname})
-        anns.append({"id": i, "image_id": i, "caption": "a synthetic benchmark image number %d" % i})
-    ann_path = os.path.join(root, "ann.json")
-    with open(ann_path, "w") as f:
-        json.dump({"images": images_meta, "annotations": anns}, f)
+    ann_path, img_dir, images_meta = _make_jpeg_dataset(n_images)
+    root = os.path.dirname(ann_path)
 
-    class _V:  # minimal vocab: ids irrelevant to serving throughput
-        word_to_index = {"<pad>": 0, "<start>": 1, "<end>": 2, "<unk>": 3}
-
-        def __call__(self, w):
-            return self.word_to_index.get(w, 3)
-
-    ds = MSCOCO(ann_path, img_dir, _V(), train=False)
+    ds = MSCOCO(ann_path, img_dir, _MiniVocab(), train=False)
     loader = DataLoader(ds, batch_size=batch, shuffle=False, drop_last=True, prefetch=2)
 
     _, serve, key = _flagship_serve(batch)
@@ -399,8 +411,82 @@ def bench_input(batch: int = 64, n_images: int = 512):
     )
 
 
+def bench_train_e2e(batch: int = 128, n_images: int = 1024):
+    """`python bench.py --train_e2e [B]`: the COMPLETE training pipeline
+    — JPEG bytes on disk -> loader (native decode, --image_cache) ->
+    uint8 H2D -> jitted train step (flagship GRU, f32) — measured for
+    the fill epoch (decode + cache write + train) and a steady-state
+    cached epoch.  The steady-state number is the honest "what does a
+    100-epoch COCO run sustain" rate: with the cache, epochs 2+ are
+    chip-bound even on this 1-core host."""
+    import os
+    import shutil
+
+    import jax
+
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.data.device_prefetch import device_prefetch
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state, make_train_step
+
+    batch = max(1, min(batch, n_images))
+    ann_path, img_dir, _ = _make_jpeg_dataset(n_images, prefix="bench_train_e2e_")
+    root = os.path.dirname(ann_path)
+    cache_dir = os.path.join(root, "cache")
+
+    ds = MSCOCO(ann_path, img_dir, _MiniVocab(), train=True, image_cache=cache_dir)
+    loader = DataLoader(ds, batch_size=batch, shuffle=False, drop_last=True, prefetch=2, pad_length=12)
+
+    cfg, _, _ = _flagship_params()  # config only; training runs f32
+    from show_tell_tpu.models.captioner import CaptionerConfig  # noqa: F401  (cfg above)
+
+    opt = make_optimizer("SGD", 0.001, 0.9)
+    ts = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, opt, augment=True)
+
+    def epoch():
+        nonlocal ts
+        n = 0
+        loss = None
+        for _, images, captions, lengths in device_prefetch(loader):
+            ts, loss = step(ts, images, captions, lengths)
+            n += images.shape[0]
+        jax.block_until_ready(loss)
+        return n
+
+    epoch()  # compile + warm
+    shutil.rmtree(cache_dir)
+    ds.image_cache = None
+    from show_tell_tpu.data.image_cache import ImageCache
+
+    ds.image_cache = ImageCache(cache_dir, [m["file_name"] for m in ds.annotation_obj.imgs.values()], 224)
+
+    t0 = time.perf_counter()
+    n_fill = epoch()  # decode + cache fill + train
+    fill_rate = n_fill / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    n_cached = epoch()  # steady state: cache + train
+    cached_rate = n_cached / (time.perf_counter() - t0)
+    shutil.rmtree(root)
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_train_samples_per_sec_cached_epoch",
+                "value": round(cached_rate, 2),
+                "unit": "samples/s (JPEGs on disk, 1 host core, 1 chip)",
+                "vs_baseline": round(cached_rate / 402.0, 3),
+                "fill_epoch_samples_per_sec": round(fill_rate, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if "--train_attn" in sys.argv:
+    if "--train_e2e" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--train_e2e"]
+        bench_train_e2e(int(args[0]) if args else 128)
+    elif "--train_attn" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--train_attn"]
         bench_train(int(args[0]) if args else 128, variant="attn")
     elif "--train" in sys.argv:
