@@ -204,3 +204,42 @@ def test_image_cache_rejects_mismatched_dataset(tmp_path):
         ImageCache(str(tmp_path / "c"), ["a.jpg", "c.jpg"], 224)
     with pytest.raises(ValueError, match="different dataset"):
         ImageCache(str(tmp_path / "c"), ["a.jpg", "b.jpg"], 128)
+
+
+def test_prefill_cache_tool(tmp_path):
+    """tools/prefill_cache.py fills the cache so a loader with the same
+    cache dir serves every image without touching the JPEGs."""
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    from fixtures import build_mini_coco, mini_params
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.vocab import get_vocabulary
+
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"))
+    vocab = get_vocabulary("MSCOCO", params)
+
+    import os
+
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools", "prefill_cache.py")
+    out = subprocess.run(
+        [_sys.executable, tool, "--ann_path", params["ann_path_train"],
+         "--img_dir", params["data_path_train"],
+         "--image_cache", str(tmp_path / "cache"), "--fast_jpeg"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "prefilled" in out.stdout
+
+    ds = MSCOCO(
+        params["ann_path_train"], params["data_path_train"], vocab,
+        image_cache=str(tmp_path / "cache"),
+    )
+    assert ds.image_cache.hit_fraction() == 1.0
+    shutil.rmtree(params["data_path_train"])  # no JPEG access needed
+    loader = DataLoader(ds, batch_size=4, shuffle=False)
+    n = sum(b[1].shape[0] for b in loader)
+    assert n == len(ds)
+    loader.close()
