@@ -39,17 +39,13 @@ def _median_time(fn, args_list, iters: int = 5, reps: int = 5) -> float:
     return sorted(times)[len(times) // 2]
 
 
-def _flagship_params(variant: str = "gru"):
+def _flagship_cfg(variant: str = "gru"):
     """Flagship config per variant (reference defaults: ResNet-101,
     5-layer hidden-512 decoder, vocab 9956; embed 256 for GRU, 512 for
-    the LSTM/attention CLIs) with params/state cast to the bf16 serving
-    dtype — shared by every serving bench."""
-    import jax
-    import jax.numpy as jnp
+    the LSTM/attention CLIs)."""
+    from show_tell_tpu.models.captioner import CaptionerConfig
 
-    from show_tell_tpu.models.captioner import CaptionerConfig, init_captioner
-
-    cfg = CaptionerConfig(
+    return CaptionerConfig(
         variant=variant,
         resnet_version=101,
         embed_dim=256 if variant == "gru" else 512,
@@ -57,6 +53,17 @@ def _flagship_params(variant: str = "gru"):
         vocab_size=9956,
         num_layers=5,
     )
+
+
+def _flagship_params(variant: str = "gru"):
+    """Flagship config + params/state cast to the bf16 serving dtype —
+    shared by every serving bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from show_tell_tpu.models.captioner import init_captioner
+
+    cfg = _flagship_cfg(variant)
     params, state = init_captioner(jax.random.PRNGKey(0), cfg)
     bf = jnp.bfloat16
     params = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
@@ -110,18 +117,10 @@ def bench_train(batch: int = 256, variant: str = "gru"):
     samples/s @ 0.851 MFU vs 8,100); B=384+ degrades."""
     import jax
 
-    from show_tell_tpu.models.captioner import CaptionerConfig
     from show_tell_tpu.train.optim import make_optimizer
     from show_tell_tpu.train.train_step import create_train_state, make_train_step
 
-    cfg = CaptionerConfig(
-        variant=variant,
-        resnet_version=101,
-        embed_dim=256 if variant == "gru" else 512,
-        hidden_dim=512,
-        vocab_size=9956,
-        num_layers=5,
-    )
+    cfg = _flagship_cfg(variant)
     opt = make_optimizer("SGD", 0.001, 0.9)
     ts = create_train_state(jax.random.PRNGKey(0), cfg, opt)
     step = make_train_step(cfg, opt, augment=True)
@@ -437,9 +436,7 @@ def bench_train_e2e(batch: int = 128, n_images: int = 1024):
     ds = MSCOCO(ann_path, img_dir, _MiniVocab(), train=True, image_cache=cache_dir)
     loader = DataLoader(ds, batch_size=batch, shuffle=False, drop_last=True, prefetch=2, pad_length=12)
 
-    cfg, _, _ = _flagship_params()  # config only; training runs f32
-    from show_tell_tpu.models.captioner import CaptionerConfig  # noqa: F401  (cfg above)
-
+    cfg = _flagship_cfg()  # training runs f32
     opt = make_optimizer("SGD", 0.001, 0.9)
     ts = create_train_state(jax.random.PRNGKey(0), cfg, opt)
     step = make_train_step(cfg, opt, augment=True)

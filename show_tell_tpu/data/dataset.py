@@ -81,7 +81,7 @@ class MSCOCO:
             from show_tell_tpu.data.image_cache import ImageCache
 
             names = [img["file_name"] for img in coco.imgs.values()]
-            self.image_cache = ImageCache(image_cache, names, IMAGE_SIZE)
+            self.image_cache = ImageCache(image_cache, names, IMAGE_SIZE, fast_jpeg=fast_jpeg)
 
     def __len__(self) -> int:
         return len(self.annotation_ids)
@@ -92,14 +92,16 @@ class MSCOCO:
         v = self.vocab
         return [v("<start>")] + [v(t) for t in tokens] + [v("<end>")]
 
-    def _load_image(self, full_path: str) -> np.ndarray:
+    def _load_image(self, image_path: str) -> np.ndarray:
+        """image_path is the annotation-relative file name — also the
+        cache key (consistent with the loader's native batch path)."""
+        full_path = os.path.join(self.data_path, image_path)
         if self.image_cache is not None:
-            name = os.path.basename(full_path)
-            cached = self.image_cache.get(name)
+            cached = self.image_cache.get(image_path)
             if cached is not None:
                 return cached
             img = self._decode_image(full_path)
-            self.image_cache.put(name, img)
+            self.image_cache.put(image_path, img)
             return img
         return self._decode_image(full_path)
 
@@ -132,7 +134,7 @@ class MSCOCO:
 
     def __getitem__(self, sample_idx: int) -> Tuple[str, np.ndarray, List[int]]:
         image_path, caption = self.sample_meta(sample_idx)
-        image = self._load_image(os.path.join(self.data_path, image_path))
+        image = self._load_image(image_path)
         return image_path, image, caption
 
 

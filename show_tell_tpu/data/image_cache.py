@@ -29,7 +29,7 @@ import numpy as np
 class ImageCache:
     """Memmap-backed uint8 image cache keyed by image file name."""
 
-    def __init__(self, cache_dir: str, file_names: List[str], image_size: int):
+    def __init__(self, cache_dir: str, file_names: List[str], image_size: int, fast_jpeg: bool = False):
         os.makedirs(cache_dir, exist_ok=True)
         self.image_size = image_size
         names = sorted(set(file_names))
@@ -38,14 +38,18 @@ class ImageCache:
         index_path = os.path.join(cache_dir, "index.json")
         data_path = os.path.join(cache_dir, "images_u8.dat")
         valid_path = os.path.join(cache_dir, "valid.dat")
-        index = {"image_size": image_size, "files": names}
+        # The decode mode is part of the cache identity: a cache filled
+        # with --fast_jpeg holds few-LSB-off pixels that must not be
+        # silently served to a later parity run (and vice versa).
+        index = {"image_size": image_size, "fast_jpeg": bool(fast_jpeg), "files": names}
         if os.path.isfile(index_path):
             with open(index_path) as f:
                 on_disk = json.load(f)
             if on_disk != index:
                 raise ValueError(
-                    "image cache at %s was built for a different dataset or size; "
-                    "point --image_cache at a fresh directory" % cache_dir
+                    "image cache at %s was built for a different dataset, size, or "
+                    "decode mode (fast_jpeg); point --image_cache at a fresh directory"
+                    % cache_dir
                 )
         else:
             with open(index_path + ".tmp", "w") as f:
@@ -58,15 +62,37 @@ class ImageCache:
         self.valid = np.memmap(valid_path, dtype=np.uint8, mode=vmode, shape=(n,))
 
     def get(self, file_name: str) -> Optional[np.ndarray]:
-        """Cached pixels for this image, or None on first touch."""
-        i = self.row[file_name]
-        if self.valid[i]:
-            return np.asarray(self.data[i])
+        """Cached pixels for this image, or None when absent (first
+        touch, or a name outside the index)."""
+        i = self.row.get(file_name)
+        if i is not None and self.valid[i]:
+            # Read-only view: zero-copy, and an accidental in-place
+            # mutation raises instead of silently corrupting the
+            # on-disk cache for every later run.
+            view = self.data[i].view()
+            view.flags.writeable = False
+            return view
         return None
 
     def put(self, file_name: str, image: np.ndarray) -> None:
-        i = self.row[file_name]
+        i = self.row.get(file_name)
+        if i is None:  # name outside the index: don't cache, don't crash
+            return
         self.data[i] = image
+        # Flush the row before publishing validity: dirty-page writeback
+        # order is unspecified, so without this a machine crash mid-fill
+        # could persist valid=1 over an unwritten row.  msync only the
+        # row's page range — a whole-mapping flush would walk every PTE
+        # of a multi-GB mapping on each put.
+        import mmap as _mmap
+
+        row_bytes = self.image_size * self.image_size * 3
+        start = (i * row_bytes // _mmap.PAGESIZE) * _mmap.PAGESIZE
+        length = (i + 1) * row_bytes - start
+        try:
+            self.data._mmap.flush(start, length)  # noqa: SLF001 — no public row flush
+        except (AttributeError, ValueError, OSError):
+            self.data.flush()
         self.valid[i] = 1  # after the row write: readers never see torn rows
 
     def hit_fraction(self) -> float:

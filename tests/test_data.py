@@ -235,7 +235,7 @@ def test_prefill_cache_tool(tmp_path):
 
     ds = MSCOCO(
         params["ann_path_train"], params["data_path_train"], vocab,
-        image_cache=str(tmp_path / "cache"),
+        image_cache=str(tmp_path / "cache"), fast_jpeg=True,  # cache identity includes decode mode
     )
     assert ds.image_cache.hit_fraction() == 1.0
     shutil.rmtree(params["data_path_train"])  # no JPEG access needed
@@ -243,3 +243,23 @@ def test_prefill_cache_tool(tmp_path):
     n = sum(b[1].shape[0] for b in loader)
     assert n == len(ds)
     loader.close()
+
+
+def test_image_cache_mode_and_safety(tmp_path):
+    """Cache identity includes the decode mode; cached rows are
+    read-only (mutation raises instead of corrupting the file); unknown
+    names are a miss, not a crash."""
+    from show_tell_tpu.data.image_cache import ImageCache
+
+    c = ImageCache(str(tmp_path / "c"), ["a.jpg"], 8, fast_jpeg=True)
+    with pytest.raises(ValueError, match="decode mode"):
+        ImageCache(str(tmp_path / "c"), ["a.jpg"], 8, fast_jpeg=False)
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    c.put("a.jpg", img)
+    got = c.get("a.jpg")
+    np.testing.assert_array_equal(got, img)
+    with pytest.raises(ValueError):
+        got[0, 0, 0] = 99
+    assert c.get("not-indexed.jpg") is None
+    c.put("not-indexed.jpg", img)  # no-op, no crash

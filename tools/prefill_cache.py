@@ -33,7 +33,9 @@ def prefill(ann_path: str, img_dir: str, cache_dir: str, batch: int = 256, fast_
 
     coco = CocoCaptions(ann_path)
     names = sorted({img["file_name"] for img in coco.imgs.values()})
-    cache = ImageCache(cache_dir, names, IMAGE_SIZE)
+    # fast_jpeg is part of the cache identity (index.json): a training
+    # run must request the same decode mode to use this cache.
+    cache = ImageCache(cache_dir, names, IMAGE_SIZE, fast_jpeg=fast_jpeg)
     todo = [n for n in names if cache.get(n) is None]
     print("%d images, %d to decode (%.0f%% already cached)" % (
         len(names), len(todo), 100.0 * (1 - len(todo) / max(1, len(names)))))
