@@ -11,6 +11,11 @@ Usage:
     python tools/sweep.py --data_dir ... --sweep_output out/sweep \
         --variant gru --num_epochs 5 \
         --lrs 0.01,0.001 --embeds 256,512 --optimizers SGD,Adam
+
+Unknown flags pass through to every run — in particular
+``--image_cache DIR`` makes all sweep runs share one decoded-image
+cache (same data every run: the first run fills it, the rest skip JPEG
+decode entirely; prefill beforehand with tools/prefill_cache.py).
 """
 
 from __future__ import annotations
