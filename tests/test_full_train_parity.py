@@ -299,3 +299,35 @@ def test_attention_lockstep_losses_match(cell, opt_type):
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=1e-3)
     assert our_losses[-1] != our_losses[0]
+
+
+def test_pooled_lockstep_long_run():
+    """40-step lockstep (5x the standard case): accumulated divergence
+    between our jitted train step and the torch reference stays within
+    the same tolerance over a longer trajectory — SGD momentum, BN
+    running-stat drift, and masked-CE normalization compound for 40
+    optimizer steps without drifting apart."""
+    torch.manual_seed(1)
+    cell, opt_type = "gru", "SGD"
+    backbone, lin, bn, emb, unit, out = build_torch_pooled(cell)
+
+    enc_sd = encoder_sd(backbone, lin, bn)
+    dec_sd = {"embeddings.weight": emb.weight}
+    for k, v in unit.state_dict().items():
+        dec_sd["unit." + k] = v
+    dec_sd["linear.weight"], dec_sd["linear.bias"] = out.weight, out.bias
+
+    cfg = CaptionerConfig(cell, 18, E, H, V, L)
+    enc_params, enc_state = encoder_params_from_torch(enc_sd, cfg.encoder_config())
+    params = {"encoder": enc_params, "decoder": decoder_params_from_torch(dec_sd, L)}
+
+    batches = make_batches(np.random.RandomState(7), steps=40)
+    ref_losses = torch_pooled_steps(
+        backbone, lin, bn, emb, unit, out, opt_type,
+        [(normalize(im), cap, lens) for im, cap, lens in batches],
+    )
+    our_losses = run_our_steps(cfg, params, enc_state, opt_type, batches)
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=1e-3)
+    # The trajectory must actually be training, not flat.
+    assert our_losses[-1] < our_losses[0]
