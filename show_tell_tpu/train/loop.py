@@ -102,6 +102,22 @@ def train(
     # first epoch (step 1 is compile) — view with tensorboard/xprof.
     profile_dir = str(params.get("profile_dir", "") or "")
     tracing = False
+    # Preemption safety (the reference loses everything since its last
+    # 5000-step save): on SIGTERM, checkpoint at the next batch boundary
+    # and exit cleanly — `--resume_model_train auto` picks it up.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    prev_handler, handler_installed = None, False
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        handler_installed = True
+    except ValueError:
+        pass  # not the main thread (e.g. called from a test harness)
     idx = -1
     for epoch in range(params["num_epochs"]):
         print("Epoch %d started." % (epoch + 1))
@@ -129,6 +145,14 @@ def train(
                 elif tracing and idx + 1 >= 6:
                     jax.profiler.stop_trace()
                     tracing = False
+            if preempted["flag"]:
+                if tracing:
+                    jax.profiler.stop_trace()
+                create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
+                print("Preempted (SIGTERM): checkpoint saved at epoch %d step %d; resume with --resume_training 1 --resume_model_train auto." % (epoch + 1, idx + 1))
+                if handler_installed and prev_handler is not None:
+                    signal.signal(signal.SIGTERM, prev_handler)
+                return ts
             if (idx + 1) % 5000 == 0:
                 create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
             if (idx + 1) % 500 == 0 or (idx + 1) == len(train_data_loader):
@@ -168,5 +192,7 @@ def train(
                 sub_batch_size=params.get("sub_batch_test", 10),
             )
 
+    if handler_installed and prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     print("Training completed.")
     return ts

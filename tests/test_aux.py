@@ -398,3 +398,60 @@ def test_test_step_is_cached_across_test_model_calls():
     assert a is b
     c = make_test_step(cfg, 2, augment=True, compute_dtype=jnp.float32)
     assert c is not a
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-training -> checkpoint at the next batch boundary,
+    clean exit, and `--resume_model_train auto` resumes from it (the
+    reference loses everything since its last 5000-step save)."""
+    import signal
+    import subprocess
+    import time as _time
+
+    from fixtures import build_mini_coco
+
+    data_root = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    build_mini_coco(data_root)
+    args = [
+        sys.executable, "-u", "-m", "show_tell_tpu.cli.main",
+        "--data_dir", data_root, "--output_dir", out_dir,
+        "--train_ann_path", "annotations/captions_train2014.json",
+        "--test_ann_path", "annotations/captions_train2014.json",
+        "--train_img_dir", "train2014", "--test_img_dir", "train2014",
+        "--vocab_threshold", "1", "--embedding_length", "8",
+        "--num_hidden_units", "12", "--num_layers", "1", "--batch_size", "4",
+        "--num_epochs", "100000", "--resnet_version", "18",
+        "--is_training", "1", "--is_testing", "0", "--device", "cpu",
+    ]
+    proc = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    # Wait until training demonstrably started, then preempt.
+    deadline = _time.time() + 240
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if "Epoch 1 started." in line:
+            break
+        assert _time.time() < deadline, "".join(lines)
+    _time.sleep(2.0)  # let at least one step land
+    proc.send_signal(signal.SIGTERM)
+    try:
+        rest = proc.communicate(timeout=180)[0]
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    out = "".join(lines) + rest
+    assert proc.returncode == 0, out
+    assert "Preempted (SIGTERM)" in out, out
+    ckpts = [f for f in os.listdir(out_dir) if f.startswith("model_") and f.endswith(".ckpt") and "metrics" not in f]
+    assert ckpts, out
+
+    # Auto-resume from the preemption checkpoint.
+    resumed = subprocess.run(
+        args[:-10] + ["--num_epochs", "1", "--resnet_version", "18",
+                      "--is_training", "1", "--is_testing", "0", "--device", "cpu",
+                      "--resume_training", "1", "--resume_model_train", "auto"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert resumed.returncode == 0, resumed.stdout + resumed.stderr
+    assert "Models loaded." in resumed.stdout
