@@ -118,81 +118,91 @@ def train(
         handler_installed = True
     except ValueError:
         pass  # not the main thread (e.g. called from a test harness)
+
+    def _restore_handler():
+        if handler_installed:
+            # Unconditional: prev_handler is None when the previous
+            # handler was installed at the C level; fall back to SIG_DFL
+            # rather than leaving our dead closure installed.
+            signal.signal(signal.SIGTERM, prev_handler if prev_handler is not None else signal.SIG_DFL)
+
     idx = -1
-    for epoch in range(params["num_epochs"]):
-        print("Epoch %d started." % (epoch + 1))
-        train_loss = []
-        # Batches are device_put (sharded over dp when meshed) one step
-        # ahead, overlapping H2D transfer with the previous step's compute.
-        from show_tell_tpu.data.device_prefetch import device_prefetch
+    try:
+        for epoch in range(params["num_epochs"]):
+            print("Epoch %d started." % (epoch + 1))
+            train_loss = []
+            # Batches are device_put (sharded over dp when meshed) one step
+            # ahead, overlapping H2D transfer with the previous step's compute.
+            from show_tell_tpu.data.device_prefetch import device_prefetch
 
-        loader_iter = device_prefetch(train_data_loader, mesh=mesh)
-        while True:
-            with timer.stage("data"):
-                batch = next(loader_iter, None)
-            if batch is None:
-                break
-            idx = len(train_loss)
-            _, images, captions, lengths = batch
-            with timer.stage("step"):
-                ts, loss = step(ts, images, captions, lengths)
-                loss = float(loss)  # device sync: keeps timings honest
-            train_loss.append(loss)
-            if profile_dir and epoch == 0:
-                if idx + 1 == 1:
-                    jax.profiler.start_trace(profile_dir)
-                    tracing = True
-                elif tracing and idx + 1 >= 6:
-                    jax.profiler.stop_trace()
-                    tracing = False
-            if preempted["flag"]:
-                if tracing:
-                    jax.profiler.stop_trace()
-                create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
-                print("Preempted (SIGTERM): checkpoint saved at epoch %d step %d; resume with --resume_training 1 --resume_model_train auto." % (epoch + 1, idx + 1))
-                if handler_installed and prev_handler is not None:
-                    signal.signal(signal.SIGTERM, prev_handler)
-                return ts
-            if (idx + 1) % 5000 == 0:
-                create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
-            if (idx + 1) % 500 == 0 or (idx + 1) == len(train_data_loader):
-                print(
-                    "Epoch %d (Step %d) - %0.4f train loss, %0.2f time."
-                    % (epoch + 1, idx + 1, train_loss[-1], time.time() - start_time)
-                )
-                logger.log("train_step", step=idx + 1, epoch=epoch + 1, loss=train_loss[-1], timing=timer.summary())
-        if tracing:  # epoch shorter than the 6-step trace window
-            jax.profiler.stop_trace()
-            tracing = False
-        print("Epoch %d - %0.4f loss, %.2f time. " % (epoch + 1, np.mean(train_loss), time.time() - start_time))
-        logger.log(
-            "epoch",
-            step=idx + 1,
-            epoch=epoch + 1,
-            mean_loss=float(np.mean(train_loss)),
-            timing=timer.summary(),
-        )
-        timer.reset()
-        create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
-        if params.get("keep_checkpoints", 0):
-            from show_tell_tpu.train.checkpoint import prune_checkpoints
-
-            prune_checkpoints(params["output_dir"], int(params["keep_checkpoints"]))
-
-        if eval_every_epochs and (epoch + 1) % eval_every_epochs == 0 and test_data_loader is not None:
-            from show_tell_tpu.evaluation.tester import test_model
-
-            print("Steps to be taken - %d\n" % params.get("sub_batch_test", 10))
-            test_model(
-                ts,
-                cfg,
-                test_data_loader,
-                vocab,
-                params,
-                sub_batch_size=params.get("sub_batch_test", 10),
+            loader_iter = device_prefetch(train_data_loader, mesh=mesh)
+            while True:
+                with timer.stage("data"):
+                    batch = next(loader_iter, None)
+                if batch is None:
+                    break
+                idx = len(train_loss)
+                _, images, captions, lengths = batch
+                with timer.stage("step"):
+                    ts, loss = step(ts, images, captions, lengths)
+                    loss = float(loss)  # device sync: keeps timings honest
+                train_loss.append(loss)
+                if profile_dir and epoch == 0:
+                    if idx + 1 == 1:
+                        jax.profiler.start_trace(profile_dir)
+                        tracing = True
+                    elif tracing and idx + 1 >= 6:
+                        jax.profiler.stop_trace()
+                        tracing = False
+                if preempted["flag"]:
+                    if tracing:
+                        jax.profiler.stop_trace()
+                    create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
+                    print("Preempted (SIGTERM): checkpoint saved at epoch %d step %d; resume with --resume_training 1 --resume_model_train auto." % (epoch + 1, idx + 1))
+                    # Terminate, don't fall through: a preempted process must
+                    # not continue into the test phase or a sweep's next run
+                    # during its grace period.
+                    raise SystemExit(0)
+                if (idx + 1) % 5000 == 0:
+                    create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
+                if (idx + 1) % 500 == 0 or (idx + 1) == len(train_data_loader):
+                    print(
+                        "Epoch %d (Step %d) - %0.4f train loss, %0.2f time."
+                        % (epoch + 1, idx + 1, train_loss[-1], time.time() - start_time)
+                    )
+                    logger.log("train_step", step=idx + 1, epoch=epoch + 1, loss=train_loss[-1], timing=timer.summary())
+            if tracing:  # epoch shorter than the 6-step trace window
+                jax.profiler.stop_trace()
+                tracing = False
+            print("Epoch %d - %0.4f loss, %.2f time. " % (epoch + 1, np.mean(train_loss), time.time() - start_time))
+            logger.log(
+                "epoch",
+                step=idx + 1,
+                epoch=epoch + 1,
+                mean_loss=float(np.mean(train_loss)),
+                timing=timer.summary(),
             )
+            timer.reset()
+            create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
+            if params.get("keep_checkpoints", 0):
+                from show_tell_tpu.train.checkpoint import prune_checkpoints
 
-    if handler_installed and prev_handler is not None:
-        signal.signal(signal.SIGTERM, prev_handler)
+                prune_checkpoints(params["output_dir"], int(params["keep_checkpoints"]))
+
+            if eval_every_epochs and (epoch + 1) % eval_every_epochs == 0 and test_data_loader is not None:
+                from show_tell_tpu.evaluation.tester import test_model
+
+                print("Steps to be taken - %d\n" % params.get("sub_batch_test", 10))
+                test_model(
+                    ts,
+                    cfg,
+                    test_data_loader,
+                    vocab,
+                    params,
+                    sub_batch_size=params.get("sub_batch_test", 10),
+                )
+
+    finally:
+        _restore_handler()
     print("Training completed.")
     return ts

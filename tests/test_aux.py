@@ -424,33 +424,39 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
         "--num_epochs", "100000", "--resnet_version", "18",
         "--is_training", "1", "--is_testing", "0", "--device", "cpu",
     ]
+    import threading
+
     proc = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-    # Wait until training demonstrably started, then preempt.
-    deadline = _time.time() + 240
-    lines = []
-    for line in proc.stdout:
-        lines.append(line)
-        if "Epoch 1 started." in line:
-            break
-        assert _time.time() < deadline, "".join(lines)
-    _time.sleep(2.0)  # let at least one step land
-    proc.send_signal(signal.SIGTERM)
+    # Hard backstop: the child trains --num_epochs 100000; never leave it
+    # running if any assertion below fails or the startup read stalls.
+    killer = threading.Timer(240, proc.kill)
+    killer.start()
     try:
+        lines = []
+        for line in proc.stdout:  # killer unblocks this if the child wedges
+            lines.append(line)
+            if "Epoch 1 started." in line:
+                break
+        assert any("Epoch 1 started." in l for l in lines), "".join(lines)
+        _time.sleep(2.0)  # let at least one step land
+        proc.send_signal(signal.SIGTERM)
         rest = proc.communicate(timeout=180)[0]
-    except subprocess.TimeoutExpired:
+    finally:
+        killer.cancel()
         proc.kill()
-        raise
     out = "".join(lines) + rest
     assert proc.returncode == 0, out
     assert "Preempted (SIGTERM)" in out, out
     ckpts = [f for f in os.listdir(out_dir) if f.startswith("model_") and f.endswith(".ckpt") and "metrics" not in f]
     assert ckpts, out
 
-    # Auto-resume from the preemption checkpoint.
+    # Auto-resume from the preemption checkpoint (explicit argv, not a
+    # slice of the training one).
+    base = args[: args.index("--num_epochs")]
     resumed = subprocess.run(
-        args[:-10] + ["--num_epochs", "1", "--resnet_version", "18",
-                      "--is_training", "1", "--is_testing", "0", "--device", "cpu",
-                      "--resume_training", "1", "--resume_model_train", "auto"],
+        base + ["--num_epochs", "1", "--resnet_version", "18",
+                "--is_training", "1", "--is_testing", "0", "--device", "cpu",
+                "--resume_training", "1", "--resume_model_train", "auto"],
         capture_output=True, text=True, timeout=240,
     )
     assert resumed.returncode == 0, resumed.stdout + resumed.stderr

@@ -156,11 +156,9 @@ def torch_pooled_steps(backbone, lin, bn, emb, unit, out, opt_type, batches):
     return losses
 
 
-@pytest.mark.parametrize(
-    "cell,opt_type",
-    [("gru", "SGD"), ("gru", "Adam"), ("lstm", "Adam")],
-)
-def test_pooled_lockstep_losses_match(cell, opt_type):
+def _pooled_lockstep(cell, opt_type, steps, data_seed):
+    """Shared body: torch model -> converted params -> N lockstep steps;
+    returns (our_losses, ref_losses)."""
     backbone, lin, bn, emb, unit, out = build_torch_pooled(cell)
 
     enc_sd = encoder_sd(backbone, lin, bn)
@@ -173,14 +171,22 @@ def test_pooled_lockstep_losses_match(cell, opt_type):
     enc_params, enc_state = encoder_params_from_torch(enc_sd, cfg.encoder_config())
     params = {"encoder": enc_params, "decoder": decoder_params_from_torch(dec_sd, L)}
 
-    batches = make_batches(np.random.RandomState(0))
+    batches = make_batches(np.random.RandomState(data_seed), steps=steps)
     ref_losses = torch_pooled_steps(
         backbone, lin, bn, emb, unit, out, opt_type,
         [(normalize(im), cap, lens) for im, cap, lens in batches],
     )
     our_losses = run_our_steps(cfg, params, enc_state, opt_type, batches)
-
     np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=1e-3)
+    return our_losses, ref_losses
+
+
+@pytest.mark.parametrize(
+    "cell,opt_type",
+    [("gru", "SGD"), ("gru", "Adam"), ("lstm", "Adam")],
+)
+def test_pooled_lockstep_losses_match(cell, opt_type):
+    our_losses, _ = _pooled_lockstep(cell, opt_type, steps=STEPS, data_seed=0)
     assert our_losses[-1] != our_losses[0]  # optimizer steps took effect
 
 
@@ -307,27 +313,6 @@ def test_pooled_lockstep_long_run():
     the same tolerance over a longer trajectory — SGD momentum, BN
     running-stat drift, and masked-CE normalization compound for 40
     optimizer steps without drifting apart."""
-    torch.manual_seed(1)
-    cell, opt_type = "gru", "SGD"
-    backbone, lin, bn, emb, unit, out = build_torch_pooled(cell)
-
-    enc_sd = encoder_sd(backbone, lin, bn)
-    dec_sd = {"embeddings.weight": emb.weight}
-    for k, v in unit.state_dict().items():
-        dec_sd["unit." + k] = v
-    dec_sd["linear.weight"], dec_sd["linear.bias"] = out.weight, out.bias
-
-    cfg = CaptionerConfig(cell, 18, E, H, V, L)
-    enc_params, enc_state = encoder_params_from_torch(enc_sd, cfg.encoder_config())
-    params = {"encoder": enc_params, "decoder": decoder_params_from_torch(dec_sd, L)}
-
-    batches = make_batches(np.random.RandomState(7), steps=40)
-    ref_losses = torch_pooled_steps(
-        backbone, lin, bn, emb, unit, out, opt_type,
-        [(normalize(im), cap, lens) for im, cap, lens in batches],
-    )
-    our_losses = run_our_steps(cfg, params, enc_state, opt_type, batches)
-
-    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=1e-3)
+    our_losses, _ = _pooled_lockstep("gru", "SGD", steps=40, data_seed=7)
     # The trajectory must actually be training, not flat.
     assert our_losses[-1] < our_losses[0]
