@@ -375,3 +375,19 @@ def test_attn_lstm_beam1_equals_greedy_prefix():
         upto = (ends[0] + 1) if len(ends) else T
         np.testing.assert_array_equal(beam[b, :upto], greedy[b, :upto])
         assert (beam[b, upto:] == PAD).all()
+
+
+def test_beam_matches_oracle_fuzz_shapes():
+    """Property fuzz: the batched beam equals the per-hypothesis oracle
+    across random (cell, K, T, seed) draws — shapes and tie patterns the
+    fixed-shape cases don't cover."""
+    rng = np.random.RandomState(42)
+    for _ in range(4):
+        cell = ["gru", "lstm"][rng.randint(2)]
+        K = int(rng.randint(2, 5))
+        T = int(rng.randint(3, 12))
+        cfg, params, feat = setup(cell, T=T, seed=int(rng.randint(1000)))
+        got = np.asarray(beam_search_decode(params, cfg, jnp.asarray(feat), K, END, PAD))
+        for b in range(feat.shape[0]):
+            want, _ = oracle_beam_single(params, cfg, feat[b], K)
+            np.testing.assert_array_equal(got[b], want, err_msg="%s K=%d T=%d" % (cell, K, T))
