@@ -64,6 +64,7 @@ def _init_from_backbone(path: str, cfg, seed: int):
 
 def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCOCO") -> Dict[str, Any]:
     params = load_params(argv, variant=variant, data_source=data_source)
+    data_source = params["data_source"]  # --data_source flag may override
     apply_device(params.get("device", "gpu"))
     print("Parameters being used by the Model - ", params)
 

@@ -194,7 +194,20 @@ def load_params(
     config_path: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Parse argv into the flat ``params`` dict the whole framework consumes."""
+    import sys as _sys
+
+    # --data_source (extension): the reference hardcodes 'MSCOCO'
+    # (main.py:29; Flickr reachable only by editing that line). The flag
+    # must be pre-scanned because it selects which config block supplies
+    # every other flag's default.
+    scan = list(_sys.argv[1:] if argv is None else argv)
+    if "--data_source" in scan:
+        data_source = scan[scan.index("--data_source") + 1]
     parser = build_arg_parser(variant, data_source, config_path)
+    parser.add_argument(
+        "--data_source", type=str, default=data_source, choices=["MSCOCO", "Flickr"],
+        help="dataset family (framework extension; the reference hardcodes MSCOCO at main.py:29 — Flickr uses the config's Flickr block and a TSV annotation index)",
+    )
     params = vars(parser.parse_args(argv))
     params["variant"] = variant
     params["data_source"] = data_source

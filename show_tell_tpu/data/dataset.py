@@ -69,7 +69,15 @@ class MSCOCO:
         # pixels within a few LSB of the full-resolution decode — opt-in
         # extension (--fast_jpeg), off by default for reference parity.
         self.fast_jpeg = fast_jpeg
-        coco = CocoCaptions(ann_path)
+        if ann_path.endswith(".tsv"):
+            # Flickr30k-style image<TAB>caption file (--data_source
+            # Flickr); same annotation-keyed semantics via a
+            # CocoCaptions-shaped index.
+            from show_tell_tpu.data.coco import FlickrCaptions
+
+            coco = FlickrCaptions(ann_path)
+        else:
+            coco = CocoCaptions(ann_path)
         self.annotation_ids = list(coco.anns.keys())
         self.annotation_obj = coco
         # --image_cache DIR: decode each JPEG once per DATASET, not ~5x

@@ -102,3 +102,26 @@ def mini_params(root, out_dir, split="train2014", **overrides):
     params["data_path_test"] = os.path.join(root, params["test_img_dir"])
     os.makedirs(out_dir, exist_ok=True)
     return params
+
+
+def build_mini_flickr(root, image_size=64, seed=0):
+    """data_dir laid out per the config's Flickr block: annotations/
+    captions.tsv (headerless image<TAB>caption) + train/ images."""
+    img_dir = os.path.join(root, "train")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for k, (ann_id, img_id, caption) in enumerate(CAPTIONS):
+        fname = "flickr_%04d.jpg" % img_id
+        path = os.path.join(img_dir, fname)
+        if not os.path.isfile(path):
+            arr = rng.randint(0, 255, (image_size, image_size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(path, quality=90)
+        rows.append("%s\t%s" % (fname, caption))
+    tsv = os.path.join(ann_dir, "captions.tsv")
+    with open(tsv, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return tsv, img_dir

@@ -91,3 +91,12 @@ def test_attention_channel_mismatch_errors_early():
                           hidden_dim=12, vocab_size=20, num_layers=1)
     with pytest.raises(ValueError, match="nos_cnn_filters 512"):
         init_captioner(jax.random.PRNGKey(0), cfg)
+
+
+def test_data_source_flag_selects_flickr_block():
+    p = load_params(["--data_source", "Flickr"], variant="gru")
+    assert p["data_source"] == "Flickr"
+    assert p["train_ann_path"] == "annotations/captions.tsv"
+    assert p["train_img_dir"] == "train"
+    # default stays reference-faithful
+    assert load_params([], variant="gru")["data_source"] == "MSCOCO"

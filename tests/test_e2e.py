@@ -275,3 +275,32 @@ def test_backbone_weights_cli(tmp_path):
     # backbone, reference semantics) — they must differ from the import.
     bn = res["train_state"].bn_state["resnet"]["bn1.running_mean"]
     assert not np.allclose(np.asarray(bn), np.asarray(want_state["bn1.running_mean"]))
+
+
+def test_flickr_end_to_end(tmp_path):
+    """--data_source Flickr (framework extension; the reference hardcodes
+    MSCOCO at main.py:29 and its Dataset is COCO-only): vocab from the
+    TSV, train 1 epoch, eval — through the real GRU CLI."""
+    from fixtures import build_mini_flickr
+    from show_tell_tpu.cli.run import run
+
+    data_root = str(tmp_path / "flickr")
+    out_dir = str(tmp_path / "out")
+    build_mini_flickr(data_root)
+    res = run(
+        "gru",
+        [
+            "--data_source", "Flickr",
+            "--data_dir", data_root, "--output_dir", out_dir,
+            "--test_ann_path", "annotations/captions.tsv",
+            "--vocab_threshold", "1", "--embedding_length", "8",
+            "--num_hidden_units", "12", "--num_layers", "1", "--batch_size", "4",
+            "--num_epochs", "1", "--resnet_version", "18",
+            "--optimizer_type", "Adam", "--is_training", "1", "--is_testing", "1",
+            "--load_model_test", "model_1",
+        ],
+    )
+    assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
+    assert os.path.isfile(os.path.join(out_dir, "vocab.pkl"))
+    scores = res.get("scores") or {}
+    assert "Bleu_1" in scores
