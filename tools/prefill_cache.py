@@ -26,12 +26,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def prefill(ann_path: str, img_dir: str, cache_dir: str, batch: int = 256, fast_jpeg: bool = False,
             n_threads: int = 0) -> int:
-    from show_tell_tpu.data.coco import CocoCaptions
+    from show_tell_tpu.data.coco import CocoCaptions, FlickrCaptions
     from show_tell_tpu.data.dataset import IMAGE_SIZE
     from show_tell_tpu.data.image_cache import ImageCache
     from show_tell_tpu.native import fastimage
 
-    coco = CocoCaptions(ann_path)
+    # Same index rule as the dataset: .tsv = Flickr-style annotations.
+    coco = FlickrCaptions(ann_path) if ann_path.endswith(".tsv") else CocoCaptions(ann_path)
     names = sorted({img["file_name"] for img in coco.imgs.values()})
     # fast_jpeg is part of the cache identity (index.json): a training
     # run must request the same decode mode to use this cache.
