@@ -73,7 +73,17 @@ def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCO
 
     train_data_loader = get_data_loader(vocab, params, "train")
     print("Training data loaded.")
-    test_data_loader = get_data_loader(vocab, params, "test") if params.get("is_testing") or variant == "gru" else None
+    # The Flickr config block ships test_ann_path="" (no val split in the
+    # reference's layout): skip the test loader — and the GRU CLI's
+    # 5-epoch eval — rather than opening a directory as an annotation file.
+    have_test_ann = bool(params.get("test_ann_path"))
+    if params.get("is_testing") and not have_test_ann:
+        raise ValueError("--is_testing 1 requires --test_ann_path (the %s config block has none)" % params["data_source"])
+    test_data_loader = (
+        get_data_loader(vocab, params, "test")
+        if have_test_ann and (params.get("is_testing") or variant == "gru")
+        else None
+    )
     if test_data_loader is not None:
         print("Testing data loaded.")
 

@@ -198,16 +198,17 @@ def load_params(
 
     # --data_source (extension): the reference hardcodes 'MSCOCO'
     # (main.py:29; Flickr reachable only by editing that line). The flag
-    # must be pre-scanned because it selects which config block supplies
-    # every other flag's default.
+    # must be parsed BEFORE the main parser is built because it selects
+    # which config block supplies every other flag's default — a real
+    # preliminary argparse handles --data_source=X, abbreviations,
+    # repeats (last wins), and bad values with proper usage errors.
+    _ds_help = "dataset family (framework extension; the reference hardcodes MSCOCO at main.py:29 — Flickr uses the config's Flickr block and a TSV annotation index)"
     scan = list(_sys.argv[1:] if argv is None else argv)
-    if "--data_source" in scan:
-        data_source = scan[scan.index("--data_source") + 1]
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--data_source", type=str, default=data_source, choices=["MSCOCO", "Flickr"], help=_ds_help)
+    data_source = pre.parse_known_args(scan)[0].data_source
     parser = build_arg_parser(variant, data_source, config_path)
-    parser.add_argument(
-        "--data_source", type=str, default=data_source, choices=["MSCOCO", "Flickr"],
-        help="dataset family (framework extension; the reference hardcodes MSCOCO at main.py:29 — Flickr uses the config's Flickr block and a TSV annotation index)",
-    )
+    parser.add_argument("--data_source", type=str, default=data_source, choices=["MSCOCO", "Flickr"], help=_ds_help)
     params = vars(parser.parse_args(argv))
     params["variant"] = variant
     params["data_source"] = data_source

@@ -49,47 +49,47 @@ class CocoCaptions:
         return out
 
 
-class FlickrCaptions:
-    """Flickr30k-style captions index with the same surface as
-    ``CocoCaptions`` (anns / imgs / imgToAnns / loadImgs).
+def parse_flickr_tsv(annotation_file: str):
+    """Yield (image_name, caption) rows from a Flickr-style TSV.
+
+    Plain ``split`` — no csv quote interpretation, so captions that
+    start with a double-quote can't swallow later rows.  Handles both
+    the plain ``image<TAB>caption`` layout and the real Flickr30k token
+    file's ``name.jpg#k<TAB>caption`` rows (the ``#k`` caption index is
+    stripped from the image name)."""
+    import re
+
+    with open(annotation_file) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t", 1)
+            if len(parts) < 2 or not parts[0]:
+                continue
+            yield re.sub(r"#\d+$", "", parts[0]), parts[1]
+
+
+class FlickrCaptions(CocoCaptions):
+    """Flickr30k-style captions index with the ``CocoCaptions`` surface
+    (anns / imgs / imgToAnns / loadImgs inherited).
 
     The reference supports Flickr only in its vocabulary builder
-    (vocab_builder.py:82-88 reads a headerless ``image<TAB>caption``
-    TSV) and config block — its Dataset class is COCO-only and
-    ``data_source`` is hardcoded (main.py:29).  This index finishes the
-    job: rows become annotations in file order (one per caption, the
-    same annotation-keyed semantics as COCO), unique image names become
-    image records, so the whole pipeline — vocab ids included — works
-    unchanged via ``--data_source Flickr``.
+    (vocab_builder.py:82-88 reads the TSV) and config block — its
+    Dataset class is COCO-only and ``data_source`` is hardcoded
+    (main.py:29).  This index finishes the job: rows become annotations
+    in file order (one per caption, the same annotation-keyed semantics
+    as COCO), unique image names become image records, so the whole
+    pipeline — vocab ids included — works unchanged via
+    ``--data_source Flickr``.
     """
 
     def __init__(self, annotation_file: str):
-        import csv
-
-        self.anns: Dict[int, Dict[str, Any]] = {}
-        self.imgs: Dict[int, Dict[str, Any]] = {}
-        self.imgToAnns: Dict[int, List[Dict[str, Any]]] = {}
+        self.anns = {}
+        self.imgs = {}
+        self.imgToAnns = {}
         image_ids: Dict[str, int] = {}
-        with open(annotation_file, newline="") as f:
-            for i, row in enumerate(csv.reader(f, delimiter="\t")):
-                if len(row) < 2:
-                    continue
-                name, caption = row[0], row[1]
-                if name not in image_ids:
-                    image_ids[name] = len(image_ids)
-                    self.imgs[image_ids[name]] = {"id": image_ids[name], "file_name": name}
-                ann = {"id": i, "image_id": image_ids[name], "caption": caption}
-                self.anns[i] = ann
-                self.imgToAnns.setdefault(ann["image_id"], []).append(ann)
-
-    def loadImgs(self, ids) -> List[Dict[str, Any]]:
-        if isinstance(ids, (list, tuple)):
-            return [self.imgs[i] for i in ids]
-        return [self.imgs[ids]]
-
-    def getAnnIds(self, imgIds=None) -> List[int]:
-        if imgIds is None:
-            return list(self.anns.keys())
-        if not isinstance(imgIds, (list, tuple)):
-            imgIds = [imgIds]
-        return [a["id"] for i in imgIds for a in self.imgToAnns.get(i, [])]
+        for i, (name, caption) in enumerate(parse_flickr_tsv(annotation_file)):
+            if name not in image_ids:
+                image_ids[name] = len(image_ids)
+                self.imgs[image_ids[name]] = {"id": image_ids[name], "file_name": name}
+            ann = {"id": i, "image_id": image_ids[name], "caption": caption}
+            self.anns[i] = ann
+            self.imgToAnns.setdefault(ann["image_id"], []).append(ann)

@@ -109,13 +109,16 @@ def get_vocabulary(dataset: str, params: Dict[str, Any]) -> DatasetVocabulary:
     elif dataset == "Flickr":
         print("Building vocabulary for the Flickr dataset.")
         # Reference vocab_builder.py:84-88 reads a headerless TSV with
-        # columns (image, caption) via pandas; csv keeps the same rows.
-        import csv
+        # columns (image, caption) via pandas.  We split on the first tab
+        # (no csv/pandas quote interpretation — a caption starting with a
+        # double-quote must not swallow later rows) so the vocabulary
+        # stays consistent with the FlickrCaptions dataset index; the
+        # deviation is unobservable in the reference, whose Flickr path
+        # is unreachable (data_source hardcoded, main.py:29).
+        from show_tell_tpu.data.coco import parse_flickr_tsv
 
-        with open(annotation_path, newline="") as f:
-            for row in csv.reader(f, delimiter="\t"):
-                if len(row) >= 2:
-                    caption_tokens.update(word_tokenize(str(row[1]).lower()))
+        for _, caption in parse_flickr_tsv(annotation_path):
+            caption_tokens.update(word_tokenize(str(caption).lower()))
     else:
         raise ValueError("Please specify a valid dataset. %s is invalid." % (dataset,))
 

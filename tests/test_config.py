@@ -1,5 +1,7 @@
 """Config system parity tests (reference main.py:31-82)."""
 
+import pytest
+
 from show_tell_tpu.core import load_params, build_arg_parser
 
 
@@ -100,3 +102,11 @@ def test_data_source_flag_selects_flickr_block():
     assert p["train_img_dir"] == "train"
     # default stays reference-faithful
     assert load_params([], variant="gru")["data_source"] == "MSCOCO"
+
+
+def test_data_source_equals_form_and_bad_value():
+    p = load_params(["--data_source=Flickr"], variant="gru")
+    assert p["data_source"] == "Flickr"
+    assert p["train_ann_path"] == "annotations/captions.tsv"
+    with pytest.raises(SystemExit):  # argparse usage error, not a traceback
+        load_params(["--data_source", "NotADataset"], variant="gru")

@@ -263,3 +263,28 @@ def test_image_cache_mode_and_safety(tmp_path):
         got[0, 0, 0] = 99
     assert c.get("not-indexed.jpg") is None
     c.put("not-indexed.jpg", img)  # no-op, no crash
+
+
+def test_flickr_tsv_parsing_robustness(tmp_path):
+    """parse_flickr_tsv: no csv quote interpretation (leading-quote
+    captions can't swallow rows), Flickr30k `name.jpg#k` caption-index
+    suffixes are stripped, and FlickrCaptions shares the CocoCaptions
+    surface."""
+    from show_tell_tpu.data.coco import CocoCaptions, FlickrCaptions
+
+    tsv = tmp_path / "captions.tsv"
+    tsv.write_text(
+        'a.jpg#0\t"A man waves\n'
+        "a.jpg#1\tsecond caption for a\n"
+        "b.jpg\tplain row\n"
+        "\n"  # blank line ignored
+        "c.jpg\tcaption\twith an embedded tab\n"
+    )
+    idx = FlickrCaptions(str(tsv))
+    assert isinstance(idx, CocoCaptions)
+    names = [img["file_name"] for img in idx.imgs.values()]
+    assert names == ["a.jpg", "b.jpg", "c.jpg"]
+    caps = [a["caption"] for a in idx.anns.values()]
+    assert caps == ['"A man waves', "second caption for a", "plain row", "caption\twith an embedded tab"]
+    assert idx.loadImgs(idx.anns[1]["image_id"])[0]["file_name"] == "a.jpg"
+    assert idx.getAnnIds(0) == [0, 1]
