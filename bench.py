@@ -383,12 +383,15 @@ def bench_input(batch: int = 64, n_images: int = 512):
     ds.image_cache = None
     shutil.rmtree(cache_dir)
 
-    # End-to-end pass: loader -> H2D -> chip decode.
+    # End-to-end pass: loader -> H2D (double-buffered one batch ahead,
+    # data/device_prefetch.py, same as the train loop) -> chip decode.
+    from show_tell_tpu.data.device_prefetch import device_prefetch
+
     t0 = time.perf_counter()
     n_e2e = 0
     out = None
-    for i, (_, imgs, _, _) in enumerate(loader):
-        out = serve(jnp.asarray(imgs), jax.random.fold_in(key, 100 + i))
+    for i, (_, imgs, _, _) in enumerate(device_prefetch(loader)):
+        out = serve(imgs, jax.random.fold_in(key, 100 + i))
         n_e2e += imgs.shape[0]
     out.block_until_ready()
     e2e_rate = n_e2e / (time.perf_counter() - t0)
