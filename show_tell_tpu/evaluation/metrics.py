@@ -52,9 +52,14 @@ def _closest_reflen(reflens: List[int], testlen: int) -> int:
 
 
 def bleu_corpus(
-    gts: Dict, res: Dict, n: int = 4, option: str = "closest"
+    gts: Dict, res: Dict, n: int = 4, option: str = "closest", pre=None
 ) -> Tuple[List[float], List[List[float]]]:
     """gts/res: image_id -> list of sentence strings (res has exactly 1).
+
+    ``pre``: optional shared precompute from evaluate() —
+    {hyp_words, ref_words, hyp_counts, ref_counts} keyed by image id
+    (identical to what this function would compute; BLEU and CIDEr
+    tokenize and count the same sentences, so one pass serves both).
 
     Returns ([Bleu_1..Bleu_n corpus], [per-image lists per n])."""
     total_guess = [0] * n
@@ -64,8 +69,12 @@ def bleu_corpus(
     per_image: List[List[float]] = [[] for _ in range(n)]
 
     for img_id in gts.keys():
-        hyp_words = res[img_id][0].split()
-        refs = [r.split() for r in gts[img_id]]
+        if pre is not None:
+            hyp_words = pre["hyp_words"][img_id]
+            refs = pre["ref_words"][img_id]
+        else:
+            hyp_words = res[img_id][0].split()
+            refs = [r.split() for r in gts[img_id]]
         testlen = len(hyp_words)
         reflens = [len(r) for r in refs]
         if option == "closest":
@@ -76,10 +85,13 @@ def bleu_corpus(
             reflen = float(sum(reflens)) / len(reflens)
 
         max_ref_counts: Dict[tuple, int] = {}
-        for r in refs:
-            for ng, c in _ngram_counts(r, n).items():
+        ref_counts_list = (
+            pre["ref_counts"][img_id] if pre is not None else [_ngram_counts(r, n) for r in refs]
+        )
+        for rc in ref_counts_list:
+            for ng, c in rc.items():
                 max_ref_counts[ng] = max(max_ref_counts.get(ng, 0), c)
-        hyp_counts = _ngram_counts(hyp_words, n)
+        hyp_counts = pre["hyp_counts"][img_id] if pre is not None else _ngram_counts(hyp_words, n)
         guess = [max(0, testlen - k + 1) for k in range(1, n + 1)]
         correct = [0] * n
         for ng, c in hyp_counts.items():
@@ -116,10 +128,13 @@ def bleu_corpus(
 # --------------------------------------------------------------- CIDEr ----
 
 
-def cider_corpus(gts: Dict, res: Dict, n: int = 4, sigma: float = 6.0) -> Tuple[float, np.ndarray]:
+def cider_corpus(gts: Dict, res: Dict, n: int = 4, sigma: float = 6.0, pre=None) -> Tuple[float, np.ndarray]:
     img_ids = list(gts.keys())
-    ref_counts = {i: [_ngram_counts(r.split(), n) for r in gts[i]] for i in img_ids}
-    hyp_counts = {i: _ngram_counts(res[i][0].split(), n) for i in img_ids}
+    if pre is not None:  # shared with bleu_corpus via evaluate()
+        ref_counts, hyp_counts = pre["ref_counts"], pre["hyp_counts"]
+    else:
+        ref_counts = {i: [_ngram_counts(r.split(), n) for r in gts[i]] for i in img_ids}
+        hyp_counts = {i: _ngram_counts(res[i][0].split(), n) for i in img_ids}
 
     # Document frequency over this call's reference set (per-batch in the
     # reference flow — evaluate() is invoked per batch, utils.py:201).
@@ -279,11 +294,21 @@ def evaluate(target, predicted, faithful: bool = True) -> Dict[str, float]:
         gts[i] = [" ".join(ref) for ref in target[i]]
         res[i] = [" ".join(predicted[i])]
 
+    # One tokenize+ngram-count pass shared by BLEU and CIDEr (both use
+    # str.split(); ROUGE keeps its own split(" ") — reference rouge.py
+    # semantics differ on empty tokens, so it is NOT shared).
+    pre = {
+        "hyp_words": {i: res[i][0].split() for i in res},
+        "ref_words": {i: [r.split() for r in gts[i]] for i in gts},
+    }
+    pre["hyp_counts"] = {i: _ngram_counts(w, 4) for i, w in pre["hyp_words"].items()}
+    pre["ref_counts"] = {i: [_ngram_counts(w, 4) for w in ws] for i, ws in pre["ref_words"].items()}
+
     scores: Dict[str, float] = {}
-    bleus, _ = bleu_corpus(gts, res, 4, option="closest")
+    bleus, _ = bleu_corpus(gts, res, 4, option="closest", pre=pre)
     for k, name in enumerate(["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]):
         scores[name] = bleus[k]
-    cider_mean, cider_per = cider_corpus(gts, res)
+    cider_mean, cider_per = cider_corpus(gts, res, pre=pre)
     rouge_mean, rouge_per = rouge_l_corpus(gts, res)
     if faithful:
         scores["CIDEr"] = float(cider_per[-1])
