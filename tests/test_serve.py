@@ -283,3 +283,24 @@ def test_captioner_dp_batch_divisibility_error(trained):
     images = np.zeros((3, 224, 224, 3), dtype=np.uint8)  # 3 % dp(2) != 0
     with pytest.raises(ValueError, match="dp=2"):
         cap.caption_ids(images)
+
+
+def test_serve_cli_dp_rounds_batch(trained, capsys):
+    """--dp rounds --batch_size up to a dp multiple and still captions
+    every input exactly once (dp-sharded decode on the virtual mesh)."""
+    from show_tell_tpu.serve import main as serve_main
+
+    data_root, out_dir = trained
+    img_dir = os.path.join(data_root, "train2014")
+    three = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))[:3]]
+    rc = serve_main(three + [
+        "--ckpt", os.path.join(out_dir, "model_1.ckpt"),
+        "--vocab", os.path.join(out_dir, "vocab.pkl"),
+        "--variant", "gru", "--resnet_version", "18",
+        "--embedding_length", "16", "--num_hidden_units", "24",
+        "--num_layers", "1", "--compute_dtype", "float32",
+        "--batch_size", "3", "--dp", "2",  # 3 -> rounded up to 4
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert [l.split("\t")[0] for l in lines] == three
