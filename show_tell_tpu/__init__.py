@@ -28,4 +28,4 @@ Layout (see SURVEY.md for the reference layer map this mirrors):
   cli/         entry points mirroring main.py / main_lstm.py / main_attn*.py
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
