@@ -114,7 +114,7 @@ def build_mini_flickr(root, image_size=64, seed=0):
 
     rng = np.random.RandomState(seed)
     rows = []
-    for k, (ann_id, img_id, caption) in enumerate(CAPTIONS):
+    for _ann_id, img_id, caption in CAPTIONS:
         fname = "flickr_%04d.jpg" % img_id
         path = os.path.join(img_dir, fname)
         if not os.path.isfile(path):

@@ -51,7 +51,18 @@ def main():
     parser.add_argument("--plot", default=None, help="write a PNG of the curves")
     args = parser.parse_args()
 
-    run_dirs = [d for d in glob.glob(os.path.join(args.log_dir, "*")) if os.path.isdir(d)]
+    def has_metrics(d):
+        return bool(glob.glob(os.path.join(d, "model_*_metrics.ckpt")))
+
+    # Subdirectories that actually contain metrics are runs; a log_dir
+    # holding metrics directly is itself a run (even when it also has
+    # unrelated subdirs — model_N.orbax/ checkpoints, caches, plots).
+    run_dirs = [
+        d for d in glob.glob(os.path.join(args.log_dir, "*"))
+        if os.path.isdir(d) and has_metrics(d)
+    ]
+    if has_metrics(args.log_dir):
+        run_dirs.append(args.log_dir)
     if not run_dirs:
         run_dirs = [args.log_dir]
 

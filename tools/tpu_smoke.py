@@ -131,37 +131,48 @@ def bench_decode():
     bf = jnp.bfloat16
     rng = np.random.RandomState(0)
 
-    def timeit(fn, *args):
+    def timeit(fn, args_list):
+        """Median of 5 reps of 5 back-to-back calls, cycling DISTINCT
+        argument arrays — repeated identical executions through the
+        remote-compile tunnel can return absurdly fast (CLAUDE.md), the
+        same reason bench.py's _median_time cycles its inputs."""
+        n = 0
         for _ in range(12):
-            jax.block_until_ready(fn(*args))
+            jax.block_until_ready(fn(args_list[n % len(args_list)]))
+            n += 1
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
             for _ in range(5):
-                out = fn(*args)
+                out = fn(args_list[n % len(args_list)])
+                n += 1
             jax.block_until_ready(out)
             ts.append((time.perf_counter() - t0) / 5)
         return sorted(ts)[2]
+
+    def variants(arr, k=6):
+        """k distinct same-shape inputs (fresh random draws)."""
+        return [jnp.asarray(rng.randn(*arr.shape).astype(np.float32)).astype(arr.dtype) for _ in range(k)]
 
     E, H, V, L = 256, 512, 9956, 5
     print("GRU greedy decode, 25 steps, H=512 L=5 V=9956 bf16:")
     for B in (256, 512):
         cfg = DecoderConfig("gru", E, H, V, L)
         params = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
-        feat = jnp.asarray(rng.randn(B, E).astype(np.float32)).astype(bf)
+        feat_set = variants(jnp.zeros((B, E), bf))
         xla_fn = jax.jit(lambda f: greedy_decode(params, cfg, f))
         pls_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False))
-        t_x, t_p = timeit(xla_fn, feat), timeit(pls_fn, feat)
+        t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
     print("Attention GRU greedy decode, 25 steps, E=H=A=512 V=9956 bf16:")
     for B in (256,):
         acfg = AttnDecoderConfig("gru", 512, 2048, 512, 512, V, L)
         ap = jax.tree.map(lambda a: a.astype(bf), init_attn_decoder_params(jax.random.PRNGKey(2), acfg))
-        feats = jnp.asarray(rng.randn(B, 2048, 49).astype(np.float32)).astype(bf)
+        feat_set = variants(jnp.zeros((B, 2048, 49), bf))
         xla_fn = jax.jit(lambda f: attn_greedy_decode(ap, acfg, f, 1))
         pls_fn = jax.jit(lambda f: attn_greedy_decode_pallas(ap, acfg, f, 1, interpret=False))
-        t_x, t_p = timeit(xla_fn, feats), timeit(pls_fn, feats)
+        t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
     from show_tell_tpu.decode.beam import attn_beam_search_decode
@@ -170,10 +181,10 @@ def bench_decode():
     for B in (128,):
         acfg = AttnDecoderConfig("gru", 512, 2048, 512, 512, V, L)
         ap = jax.tree.map(lambda a: a.astype(bf), init_attn_decoder_params(jax.random.PRNGKey(2), acfg))
-        feats = jnp.asarray(rng.randn(B, 2048, 49).astype(np.float32)).astype(bf)
+        feat_set = variants(jnp.zeros((B, 2048, 49), bf))
         xla_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, use_pallas=False))
         pls_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, use_pallas=True))
-        t_x, t_p = timeit(xla_fn, feats), timeit(pls_fn, feats)
+        t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
     return 0
 
