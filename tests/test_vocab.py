@@ -177,3 +177,35 @@ def test_tokenizer_fallback_path(monkeypatch):
     assert got[0] == expected[0]
     assert got[2] == expected[2]
     assert [t for t in got[1] if t not in {"."}] == [t for t in expected[1] if t not in {"."}]
+
+
+def test_flickr_vocab_consistent_with_dataset_index(tmp_path):
+    """The vocabulary builder and FlickrCaptions share parse_flickr_tsv,
+    so every word the dataset will feed (including from quoted/suffixed
+    rows) is exactly what the vocab counted."""
+    from show_tell_tpu.data.coco import FlickrCaptions
+    from show_tell_tpu.vocab.tokenize import word_tokenize
+
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    tsv = ann_dir / "captions.tsv"
+    tsv.write_text(
+        'a.jpg#0\t"A man waves hello\n'
+        "a.jpg#1\ta dog runs fast\n"
+        "b.jpg\ta dog sits\n"
+    )
+    params = {
+        "data_dir": str(tmp_path),
+        "train_ann_path": "annotations/captions.tsv",
+        "vocab_path": str(tmp_path / "vocab.pkl"),
+        "vocab_threshold": 1,
+    }
+    vocab = get_vocabulary("Flickr", params)
+
+    idx = FlickrCaptions(str(tsv))
+    dataset_words = set()
+    for ann in idx.anns.values():
+        dataset_words.update(word_tokenize(str(ann["caption"]).lower()))
+    unk = vocab.word_to_index["<unk>"]
+    for w in dataset_words:
+        assert vocab(w) != unk, w  # threshold 1: every dataset word known
