@@ -172,7 +172,7 @@ def build_arg_parser(
     add("--eval_augment", type=int, default=1, help="apply random flips at eval time like the reference (utils.py:96); 0 disables for deterministic metric runs")
     add("--fast_jpeg", type=int, default=0, help="DCT-domain scaled JPEG decode in the input pipeline (~2x faster per image, pixels within a few LSB of the full-resolution decode); 0 = full-resolution parity decode")
     add("--profile_dir", type=str, default="", help="write a jax profiler trace of train steps 2-6 of the first epoch to this directory (view with tensorboard/xprof)")
-    add("--image_cache", type=str, default="", help="memmap cache of decoded 224x224 uint8 images (~150KB/image): each JPEG is decoded once per dataset instead of ~5x per epoch x num_epochs (annotation-keyed sampling shares images; augmentation runs on device so cached pixels are epoch-invariant)")
+    add("--image_cache", type=str, default="", help="memmap cache of decoded 224x224 uint8 images (~150KB/image): each JPEG is decoded once per dataset instead of ~5x per epoch x num_epochs (annotation-keyed sampling shares images; augmentation runs on device so cached pixels are epoch-invariant). Caches by file NAME, not contents: delete the cache dir if image files are replaced")
     add("--attn_next_token", type=int, default=0, help="train attention variants with proper next-token targets instead of the reference's w_t->w_t copy alignment (SURVEY.md 3.2; see docs/ARCHITECTURE.md for why the faithful mode cannot caption)")
     return p
 

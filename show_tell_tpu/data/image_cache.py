@@ -14,16 +14,53 @@ train2014) on disk; opt-in via --image_cache DIR.
 Thread-safety: loader threads may decode the same image concurrently
 (two captions of one image in one batch) — both write identical bytes,
 and the valid flag is set only after the row write, so the benign race
-costs at most a duplicate decode.
+costs at most a duplicate decode.  Cross-process init (e.g.
+tools/prefill_cache.py racing a training run) is safe too: the backing
+files are created exclusively (O_CREAT|O_EXCL) so a second process can
+never truncate rows the first already filled.
+
+Staleness caveat: cache identity covers file NAMES, size, and decode
+mode — not image file CONTENTS.  If an image on disk is replaced after
+its row was filled, the stale decoded row keeps being served; delete
+the cache directory after changing image files.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 from typing import List, Optional
 
 import numpy as np
+
+
+def _open_shared_memmap(path: str, shape) -> np.memmap:
+    """Create-or-open a shared memmap WITHOUT the mode='w+' truncation
+    race: two processes initializing the same cache concurrently must
+    never zero rows the other already filled (and flagged valid)."""
+    nbytes = int(np.prod(shape))
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_RDWR)
+        try:
+            os.ftruncate(fd, nbytes)
+        finally:
+            os.close(fd)
+    except FileExistsError:
+        # Creator won the race; wait out its (microseconds-long) window
+        # between create and ftruncate so the fixed-shape mapping below
+        # doesn't see a short file.
+        for _ in range(2000):
+            if os.path.getsize(path) >= nbytes:
+                break
+            time.sleep(0.002)
+        if os.path.getsize(path) < nbytes:  # creator died mid-init
+            fd = os.open(path, os.O_RDWR)
+            try:
+                os.ftruncate(fd, nbytes)  # extend only; filled rows keep
+            finally:
+                os.close(fd)
+    return np.memmap(path, dtype=np.uint8, mode="r+", shape=shape)
 
 
 class ImageCache:
@@ -55,11 +92,8 @@ class ImageCache:
             with open(index_path + ".tmp", "w") as f:
                 json.dump(index, f)
             os.replace(index_path + ".tmp", index_path)
-        shape = (n, image_size, image_size, 3)
-        mode = "r+" if os.path.isfile(data_path) else "w+"
-        self.data = np.memmap(data_path, dtype=np.uint8, mode=mode, shape=shape)
-        vmode = "r+" if os.path.isfile(valid_path) else "w+"
-        self.valid = np.memmap(valid_path, dtype=np.uint8, mode=vmode, shape=(n,))
+        self.data = _open_shared_memmap(data_path, (n, image_size, image_size, 3))
+        self.valid = _open_shared_memmap(valid_path, (n,))
 
     def get(self, file_name: str) -> Optional[np.ndarray]:
         """Cached pixels for this image, or None when absent (first

@@ -161,8 +161,10 @@ def train(
                     print("Preempted (SIGTERM): checkpoint saved at epoch %d step %d; resume with --resume_training 1 --resume_model_train auto." % (epoch + 1, idx + 1))
                     # Terminate, don't fall through: a preempted process must
                     # not continue into the test phase or a sweep's next run
-                    # during its grace period.
-                    raise SystemExit(0)
+                    # during its grace period.  Exit 143 (= 128+SIGTERM, the
+                    # shell convention for a TERM death) so supervisors can
+                    # tell a preempted half-run from a completed one.
+                    raise SystemExit(143)
                 if (idx + 1) % 5000 == 0:
                     create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
                 if (idx + 1) % 500 == 0 or (idx + 1) == len(train_data_loader):

@@ -445,7 +445,9 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
         killer.cancel()
         proc.kill()
     out = "".join(lines) + rest
-    assert proc.returncode == 0, out
+    # 143 = 128+SIGTERM: a preempted half-run must be distinguishable
+    # from a completed one by supervisors chaining on the exit status.
+    assert proc.returncode == 143, out
     assert "Preempted (SIGTERM)" in out, out
     ckpts = [f for f in os.listdir(out_dir) if f.startswith("model_") and f.endswith(".ckpt") and "metrics" not in f]
     assert ckpts, out

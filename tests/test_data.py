@@ -288,3 +288,30 @@ def test_flickr_tsv_parsing_robustness(tmp_path):
     assert caps == ['"A man waves', "second caption for a", "plain row", "caption\twith an embedded tab"]
     assert idx.loadImgs(idx.anns[1]["image_id"])[0]["file_name"] == "a.jpg"
     assert idx.getAnnIds(0) == [0, 1]
+
+
+def test_image_cache_reinit_never_truncates_filled_rows(tmp_path):
+    """Cross-process init safety: a second ImageCache on the same dir
+    must open the backing files without truncation (O_CREAT|O_EXCL), so
+    rows the first process filled stay valid; and a short data file left
+    by a creator that died mid-init is extended, not an error."""
+    import numpy as np
+
+    from show_tell_tpu.data.image_cache import ImageCache
+
+    names = ["a.jpg", "b.jpg"]
+    c1 = ImageCache(str(tmp_path / "c"), names, 8)
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    c1.put("a.jpg", img)
+
+    c2 = ImageCache(str(tmp_path / "c"), names, 8)  # "concurrent" initializer
+    np.testing.assert_array_equal(np.asarray(c2.get("a.jpg")), img)
+    assert c2.get("b.jpg") is None  # unfilled row still invalid
+
+    # Creator died between create and ftruncate: valid.dat is short.
+    import os
+
+    with open(tmp_path / "c" / "valid.dat", "r+b") as f:
+        f.truncate(0)
+    c3 = ImageCache(str(tmp_path / "c"), names, 8)  # extends, no crash
+    assert c3.get("b.jpg") is None
