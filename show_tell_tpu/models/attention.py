@@ -164,26 +164,57 @@ def attn_greedy_decode(
     cfg: AttnDecoderConfig,
     cnn_feature: jax.Array,  # [B, C, P]
     start_token: int,
+    end_token: "int | None" = None,
 ) -> jax.Array:
-    """25-step greedy decode from <start> (rnn_attn.py:77-94,120-145)."""
+    """25-step greedy decode from <start> (rnn_attn.py:77-94,120-145).
+
+    end_token (serving extension, off by default): stop once every
+    sequence has emitted <end> (`lax.while_loop` over the same attention
+    carry instead of the fixed scan).  Positions after a sequence's first
+    <end> are <pad> instead of the reference's dont-care argmax
+    continuations — caption formatting truncates at <end>, so caption
+    OUTPUT is identical (same contract as decoder.greedy_decode).
+    """
     B = cnn_feature.shape[0]
+    T = cfg.max_caption_length
     feats_pm = jnp.swapaxes(cnn_feature, 1, 2)
     att1 = _linear(params["attn"]["encoder_att"], feats_pm)  # hoisted: constant over t
     state0 = _init_hidden(params, cfg, cnn_feature)
     w0 = params["embedding"][jnp.full((B,), start_token, jnp.int32)]
     step_fn = stack_step(cfg.cell_type)
 
-    def body(carry, _):
-        w_emb, st = carry
+    def step(w_emb, st):
         context, _alpha = attention_net_hoisted(params["attn"], feats_pm, att1, _last_h(st, cfg.cell_type))
         x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
         top, st2 = step_fn(params["rnn"], x, st)
         logits = _linear(params["linear"], top)
-        tok = jnp.argmax(logits, axis=-1)
-        return (params["embedding"][tok], st2), tok
+        return jnp.argmax(logits, axis=-1), st2
 
-    (_, _), toks = jax.lax.scan(body, (w0, state0), None, length=cfg.max_caption_length)
-    return jnp.swapaxes(toks, 0, 1)
+    if end_token is None:
+
+        def body(carry, _):
+            w_emb, st = carry
+            tok, st2 = step(w_emb, st)
+            return (params["embedding"][tok], st2), tok
+
+        (_, _), toks = jax.lax.scan(body, (w0, state0), None, length=T)
+        return jnp.swapaxes(toks, 0, 1)
+
+    def cond(carry):
+        t, _, _, _, done = carry
+        return jnp.logical_and(t < T, ~jnp.all(done))
+
+    def body(carry):
+        t, w_emb, st, toks, done = carry
+        tok, st2 = step(w_emb, st)
+        tok = jnp.where(done, 0, tok)  # <pad> after <end>
+        toks = jax.lax.dynamic_update_slice(toks, tok[:, None].astype(jnp.int32), (0, t))
+        return (t + 1, params["embedding"][tok], st2, toks, done | (tok == end_token))
+
+    toks0 = jnp.zeros((B, T), jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+    _, _, _, toks, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), w0, state0, toks0, done0))
+    return toks
 
 
 def doubly_stochastic_penalty(alphas: jax.Array) -> jax.Array:

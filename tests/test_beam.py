@@ -391,3 +391,41 @@ def test_beam_matches_oracle_fuzz_shapes():
         for b in range(feat.shape[0]):
             want, _ = oracle_beam_single(params, cfg, feat[b], K)
             np.testing.assert_array_equal(got[b], want, err_msg="%s K=%d T=%d" % (cell, K, T))
+
+def test_attn_early_exit_greedy_matches_full_decode():
+    """attn_greedy_decode(end_token=...) yields identical captions after
+    <end> truncation for both attention cells (while_loop over the
+    attention carry — the serving early_exit path for attn variants)."""
+    from show_tell_tpu.models.attention import (
+        AttnDecoderConfig,
+        attn_greedy_decode,
+        init_attn_decoder_params,
+    )
+
+    START = 1
+    for cell, bias in (("gru", 2.5), ("lstm", 2.5), ("gru", -50.0)):
+        cfg = AttnDecoderConfig(cell, E, 16, 8, H, V, L, max_caption_length=12)
+        params = init_attn_decoder_params(jax.random.PRNGKey(4), cfg)
+        params = dict(params)
+        params["linear"] = dict(params["linear"])
+        # +bias: finish early at varied steps; -50: never finish (all 12
+        # steps run and the two decodes must be bit-equal).
+        params["linear"]["b"] = params["linear"]["b"].at[END].add(bias)
+        feats = jnp.asarray(np.random.RandomState(5).randn(3, 16, 6).astype(np.float32))
+
+        full = np.asarray(jax.jit(lambda f: attn_greedy_decode(params, cfg, f, START))(feats))
+        ee = np.asarray(
+            jax.jit(lambda f: attn_greedy_decode(params, cfg, f, START, end_token=END))(feats)
+        )
+        finished = 0
+        for b in range(full.shape[0]):
+            ends = np.where(full[b] == END)[0]
+            cut = int(ends[0]) + 1 if len(ends) else full.shape[1]
+            np.testing.assert_array_equal(ee[b, :cut], full[b, :cut])
+            if len(ends):
+                finished += 1
+                assert (ee[b, cut:] == PAD).all()
+        if bias > 0:
+            assert finished > 0, (cell, full)
+        else:
+            np.testing.assert_array_equal(ee, full)
