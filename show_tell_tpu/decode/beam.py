@@ -153,8 +153,9 @@ def attn_beam_search_decode(
     """Beam over the soft-attention decoders (framework extension; the
     reference decodes attention models greedily only, rnn_attn.py:77-94).
     Attention context is recomputed per hypothesis each step — via the
-    fused Pallas context kernel on a single TPU chip (use_pallas=None
-    auto, same measured policy as greedy decode), XLA elsewhere."""
+    fused Pallas context kernel on TPU (use_pallas=None auto, same
+    measured policy as greedy decode; batch-parallel GSPMD rule keeps it
+    on under dp meshes), XLA elsewhere."""
     B = cnn_feature.shape[0]
     K, T = beam_size, cfg.max_caption_length
     step = stack_step(cfg.cell_type)

@@ -167,13 +167,15 @@ def captioner_greedy_decode(
     """Eval-mode encode + 25-step batched greedy decode -> [B, 25] ids.
 
     use_pallas: None = measured auto policy (tools/tpu_smoke.py --bench,
-    v5e serving shapes): the fused Pallas context kernel wins 1.26-1.27x
-    for attention decode on a single TPU chip and is used there; the
-    GRU/LSTM hybrid kernel measures within pool noise of the XLA scan
-    and stays off.  Auto stays on XLA under multi-device meshes — GSPMD
-    has no partitioning rule for the Mosaic custom call, so sharded
-    decode must not route through it implicitly.  True/False force the
-    choice (--use_pallas 1/0)."""
+    v5e serving shapes): the fused Pallas context and projection+argmax
+    kernels win for attention decode on TPU and are used there; the
+    GRU/LSTM hybrid kernel's win is pending re-measurement with the
+    fused projection (see smoke_bench.json) and stays opt-in.  Every
+    kernel carries a batch-parallel GSPMD rule (ops/partition.py), so
+    auto holds under dp / dp x mp meshes too; with an mp-sharded vocab
+    projection only that projection falls back to XLA (see
+    ops.vocab_projection_is_sharded).  True/False force the choice
+    (--use_pallas 1/0)."""
     feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
     if cfg.is_attention:
         if use_pallas is None:

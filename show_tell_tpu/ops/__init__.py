@@ -5,7 +5,26 @@ import jax
 
 def pallas_auto_default() -> bool:
     """The measured `--use_pallas -1` auto policy (tools/tpu_smoke.py
-    --bench): the fused attention context kernel wins 1.18-1.37x on a
-    single TPU chip; under multi-device meshes GSPMD has no partitioning
-    rule for the Mosaic custom call, so auto falls back to XLA there."""
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    --bench): the fused attention context and vocab projection+argmax
+    kernels win on TPU, so auto is ON whenever the backend is a TPU.
+    Multi-device meshes included: every kernel carries a batch-parallel
+    GSPMD partitioning rule (ops/partition.py), so under dp (or dp x mp)
+    sharding it runs per-shard — the round-2 `device_count == 1`
+    restriction is gone.  On CPU/GPU backends Mosaic is unavailable and
+    the XLA paths are used."""
+    return jax.default_backend() == "tpu"
+
+
+def vocab_projection_is_sharded(linear) -> bool:
+    """True when the output projection is tensor-sharded (mp > 1 in
+    parallel/mesh.py's vocab-axis rule).  The fused projection+argmax
+    kernel must not run then — its partitioning rule replicates the
+    weight, which would all-gather the [H, V] matrix every decode step;
+    the XLA projection keeps GSPMD's native vocab-axis collectives.
+    Callable on concrete arrays only; under tracing (params passed as
+    jit arguments) this conservatively reports False — every sharded
+    serving path closes over concrete, already-placed params."""
+    try:
+        return not linear["w"].sharding.is_fully_replicated
+    except Exception:
+        return False

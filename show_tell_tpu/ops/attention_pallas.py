@@ -41,29 +41,14 @@ def _kernel(feats_ref, att1_ref, h_ref, wdec_ref, bdec_ref, wfull_ref, ctx_ref, 
     alpha_ref[...] = alpha.astype(alpha_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def attention_context_pallas(
-    attn_params: Dict[str, jax.Array],
-    feats_pm: jax.Array,  # [B, P, C] positions-major features
-    att1: jax.Array,  # [B, P, A] precomputed encoder projection (+ b_enc)
-    hidden: jax.Array,  # [B, H]
-    block_b: int = 8,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns (context [B, C], alpha [B, P]).
-
-    Softmax is invariant to the constant b_full, so it is dropped; the
-    per-position scores therefore differ from the reference by a constant
-    that cancels in alpha.
-    """
+def _attention_context_raw(feats_pm, att1, hidden, wdec, bdec, wfull, *, block_b, interpret):
     B, P, C = feats_pm.shape
     A = att1.shape[-1]
     H = hidden.shape[-1]
-    if B % block_b != 0:
+    if B % block_b != 0:  # local (per-shard) batch under a dp mesh
         block_b = 1
-    wfull = attn_params["full_att"]["w"][:, 0]  # [A]
 
-    ctx, alpha = pl.pallas_call(
+    return pl.pallas_call(
         _kernel,
         out_shape=(
             jax.ShapeDtypeStruct((B, C), feats_pm.dtype),
@@ -83,8 +68,44 @@ def attention_context_pallas(
             pl.BlockSpec((block_b, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(feats_pm, att1, hidden, attn_params["decoder_att"]["w"], attn_params["decoder_att"]["b"], wfull)
-    return ctx, alpha
+    )(feats_pm, att1, hidden, wdec, bdec, wfull)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned(block_b: int, interpret: bool):
+    """Batch-parallel GSPMD rule (ops/partition.py): under a dp mesh the
+    context kernel runs per-shard on the local batch block; the (small)
+    attention weights are replicated — parallel/mesh.py never shards
+    them.  This is what keeps the measured 1.3x kernel win alive in the
+    dp=8 (v5e-8) serving configuration."""
+    from show_tell_tpu.ops.partition import batch_partitioned
+
+    return batch_partitioned(
+        functools.partial(_attention_context_raw, block_b=block_b, interpret=interpret),
+        arg_batch_dims=(0, 0, 0, None, None, None),
+        out_batch_dims=(0, 0),
+        sharding_rule="b p c, b p a, b h, h a, a, a -> b c, b p",
+    )
+
+
+def attention_context_pallas(
+    attn_params: Dict[str, jax.Array],
+    feats_pm: jax.Array,  # [B, P, C] positions-major features
+    att1: jax.Array,  # [B, P, A] precomputed encoder projection (+ b_enc)
+    hidden: jax.Array,  # [B, H]
+    block_b: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (context [B, C], alpha [B, P]).
+
+    Softmax is invariant to the constant b_full, so it is dropped; the
+    per-position scores therefore differ from the reference by a constant
+    that cancels in alpha.
+    """
+    wfull = attn_params["full_att"]["w"][:, 0]  # [A]
+    return _partitioned(block_b, interpret)(
+        feats_pm, att1, hidden, attn_params["decoder_att"]["w"], attn_params["decoder_att"]["b"], wfull
+    )
 
 
 def precompute_att1(attn_params: Dict[str, jax.Array], feats_pm: jax.Array) -> jax.Array:
@@ -102,10 +123,12 @@ def attn_greedy_decode_pallas(
     start_token: int,
     interpret: bool = None,
 ) -> jax.Array:
-    """Greedy attention decode with the fused Pallas context kernel
-    (rnn_attn.py:77-94 semantics; --use_pallas path for attn variants)."""
+    """Greedy attention decode with the fused Pallas context kernel and
+    the fused vocab projection+argmax kernel (rnn_attn.py:77-94
+    semantics; --use_pallas path for attn variants)."""
     from show_tell_tpu.models.attention import _init_hidden, _last_h, _linear
     from show_tell_tpu.models.rnn_cells import stack_step
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab, project_argmax_pallas
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -113,6 +136,14 @@ def attn_greedy_decode_pallas(
     feats_pm = jnp.swapaxes(cnn_feature, 1, 2)
     dtype = params["embedding"].dtype
     att1 = precompute_att1(params["attn"], feats_pm).astype(dtype)
+    # mp-sharded vocab projection keeps the XLA path (GSPMD's native
+    # vocab-axis collectives); otherwise the fused kernel skips the
+    # [B, V] logits HBM round-trip.
+    from show_tell_tpu.ops import vocab_projection_is_sharded
+
+    vocab_kernel = not vocab_projection_is_sharded(params["linear"])
+    if vocab_kernel:
+        vocab = prepare_vocab(params["linear"])  # padded ONCE, outside the scan
     state0 = _init_hidden(params, cfg, cnn_feature)
     w0 = params["embedding"][jnp.full((B,), start_token, jnp.int32)]
     step_fn = stack_step(cfg.cell_type)
@@ -125,8 +156,10 @@ def attn_greedy_decode_pallas(
         )
         x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
         top, st2 = step_fn(params["rnn"], x, st)
-        logits = _linear(params["linear"], top)
-        tok = jnp.argmax(logits, axis=-1)
+        if vocab_kernel:
+            tok = project_argmax_pallas(vocab, top, interpret=interpret)
+        else:
+            tok = jnp.argmax(_linear(params["linear"], top), axis=-1)
         return (params["embedding"][tok], st2), tok
 
     (_, _), toks = jax.lax.scan(body, (w0, state0), None, length=cfg.max_caption_length)

@@ -11,12 +11,12 @@ matmuls per layer fused with the VPU gate math.
 Layer 0's input width E may be < H; its weights/inputs are zero-padded to
 H once at preparation time (zeros contribute nothing to the matmul).
 
-Why the vocab projection / argmax / embedding gather stay in XLA: fusing
-the whole 25-step greedy loop into one kernel needs an in-kernel dynamic
-row gather (embedding[argmax]), and this Mosaic version supports neither
-int indexing on refs nor a per-row dynamic-slice loop (compiler ICE).
-Those ops lower well in XLA anyway; the hybrid matches XLA's scan decode
-end-to-end on-chip and the kernel removes the per-layer op overhead.
+The vocab projection + argmax run in a second fused kernel
+(ops/vocab_pallas.py) that keeps the [B, V] logits out of HBM entirely;
+only the embedding gather stays in XLA — fusing it too would need an
+in-kernel dynamic row gather (embedding[argmax]), and this Mosaic
+version supports neither int indexing on refs nor a per-row
+dynamic-slice loop (compiler ICE).  The gather lowers well in XLA.
 """
 
 from __future__ import annotations
@@ -100,30 +100,10 @@ def _lstm_stack_kernel(
     x_buf[...] = h2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lstm_stack_step_pallas(
-    stacked: Dict[str, jax.Array],
-    x: jax.Array,  # [B, E] with E <= H
-    hs: jax.Array,  # [L, B, H]
-    cs: jax.Array,  # [L, B, H]
-    interpret: bool = False,
-):
-    """Returns (top [B, H], (new_hs, new_cs)).
-
-    VMEM note: the 4-gate weight blocks are double-buffered across the
-    layer grid; at H=512 that is ~8MB in bf16 (fits) but ~16MB in f32
-    (exceeds the 16MB VMEM budget together with h/c/x).  Callers should
-    use bf16 for large H (the serving dtype); for f32 H>=512 use the XLA
-    stack step instead."""
+def _lstm_stack_raw(x, w_ih, w_hh, b_ih, b_hh, hs, cs, *, interpret):
     L, B, H = hs.shape
     GH = 4 * H
-    E = x.shape[1]
-    assert E <= H, (E, H)
-    if E < H:
-        x = jnp.pad(x, ((0, 0), (0, H - E)))
-    x = x.astype(hs.dtype)
-
-    new_hs, new_cs = pl.pallas_call(
+    return pl.pallas_call(
         _lstm_stack_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((L, B, H), hs.dtype),
@@ -145,27 +125,13 @@ def lstm_stack_step_pallas(
         ),
         scratch_shapes=[pltpu.VMEM((B, H), hs.dtype)],
         interpret=interpret,
-    )(x, stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"], hs, cs)
-    return new_hs[-1], (new_hs, new_cs)
+    )(x, w_ih, w_hh, b_ih, b_hh, hs, cs)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gru_stack_step_pallas(
-    stacked: Dict[str, jax.Array],
-    x: jax.Array,  # [B, E] with E <= H
-    hs: jax.Array,  # [L, B, H]
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns (top [B, H], new_hs [L, B, H])."""
+def _gru_stack_raw(x, w_ih, w_hh, b_ih, b_hh, hs, *, interpret):
     L, B, H = hs.shape
     GH = 3 * H
-    E = x.shape[1]
-    assert E <= H, (E, H)
-    if E < H:
-        x = jnp.pad(x, ((0, 0), (0, H - E)))
-    x = x.astype(hs.dtype)
-
-    new_hs = pl.pallas_call(
+    return pl.pallas_call(
         _gru_stack_kernel,
         out_shape=jax.ShapeDtypeStruct((L, B, H), hs.dtype),
         grid=(L,),
@@ -180,7 +146,74 @@ def gru_stack_step_pallas(
         out_specs=pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((B, H), hs.dtype)],
         interpret=interpret,
-    )(x, stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"], hs)
+    )(x, w_ih, w_hh, b_ih, b_hh, hs)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_stack(cell_type: str, interpret: bool):
+    """Batch-parallel GSPMD rule (ops/partition.py): under a dp mesh the
+    stack step runs per-shard on its local [*, B/dp, H] state; the
+    (replicated) recurrence weights stay replicated — they are never mp-
+    sharded (parallel/mesh.py shards only vocab-sized decoder params)."""
+    from show_tell_tpu.ops.partition import batch_partitioned
+
+    if cell_type == "lstm":
+        return batch_partitioned(
+            functools.partial(_lstm_stack_raw, interpret=interpret),
+            arg_batch_dims=(0, None, None, None, None, 1, 1),
+            out_batch_dims=(1, 1),
+            sharding_rule="b h, l h g, l h g, l u g, l u g, l b h, l b h -> l b h, l b h",
+        )
+    return batch_partitioned(
+        functools.partial(_gru_stack_raw, interpret=interpret),
+        arg_batch_dims=(0, None, None, None, None, 1),
+        out_batch_dims=(1,),
+        sharding_rule="b h, l h g, l h g, l u g, l u g, l b h -> l b h",
+    )
+
+
+def lstm_stack_step_pallas(
+    stacked: Dict[str, jax.Array],
+    x: jax.Array,  # [B, E] with E <= H
+    hs: jax.Array,  # [L, B, H]
+    cs: jax.Array,  # [L, B, H]
+    interpret: bool = False,
+):
+    """Returns (top [B, H], (new_hs, new_cs)).
+
+    VMEM note: the 4-gate weight blocks are double-buffered across the
+    layer grid; at H=512 that is ~8MB in bf16 (fits) but ~16MB in f32
+    (exceeds the 16MB VMEM budget together with h/c/x).  Callers should
+    use bf16 for large H (the serving dtype); for f32 H>=512 use the XLA
+    stack step instead."""
+    H = hs.shape[2]
+    E = x.shape[1]
+    assert E <= H, (E, H)
+    if E < H:
+        x = jnp.pad(x, ((0, 0), (0, H - E)))
+    x = x.astype(hs.dtype)
+    new_hs, new_cs = _partitioned_stack("lstm", interpret)(
+        x, stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"], hs, cs
+    )
+    return new_hs[-1], (new_hs, new_cs)
+
+
+def gru_stack_step_pallas(
+    stacked: Dict[str, jax.Array],
+    x: jax.Array,  # [B, E] with E <= H
+    hs: jax.Array,  # [L, B, H]
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (top [B, H], new_hs [L, B, H])."""
+    H = hs.shape[2]
+    E = x.shape[1]
+    assert E <= H, (E, H)
+    if E < H:
+        x = jnp.pad(x, ((0, 0), (0, H - E)))
+    x = x.astype(hs.dtype)
+    new_hs = _partitioned_stack("gru", interpret)(
+        x, stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"], hs
+    )
     return new_hs[-1], new_hs
 
 
@@ -191,8 +224,11 @@ def greedy_decode_pallas(
     interpret: bool = None,
 ) -> jax.Array:
     """Greedy decode (reference rnn.py:44-58 / rnn_lstm.py:35-55
-    semantics) with the fused Pallas stack step; vocab projection /
-    argmax / embedding gather stay in XLA (they lower well already)."""
+    semantics) with the fused Pallas stack step and the fused vocab
+    projection+argmax kernel (logits never round-trip HBM); only the
+    embedding gather stays in XLA."""
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab, project_argmax_pallas
+
     if interpret is None:  # auto: Mosaic needs a TPU; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
     B = cnn_feature.shape[0]
@@ -206,6 +242,14 @@ def greedy_decode_pallas(
             return greedy_decode(params, cfg, cnn_feature)
     stacked = prepare_rnn_weights(params["rnn"])
     stacked = jax.tree.map(lambda w: w.astype(dtype), stacked)
+    # mp-sharded vocab projection keeps the XLA path (GSPMD's native
+    # vocab-axis collectives); otherwise the fused kernel skips the
+    # [B, V] logits HBM round-trip.
+    from show_tell_tpu.ops import vocab_projection_is_sharded
+
+    vocab_kernel = not vocab_projection_is_sharded(params["linear"])
+    if vocab_kernel:
+        vocab = prepare_vocab(params["linear"])  # padded ONCE, outside the scan
     hs0 = jnp.zeros((cfg.num_layers, B, cfg.hidden_dim), dtype)
     if cfg.cell_type == "lstm":
         state0 = (hs0, jnp.zeros_like(hs0))
@@ -218,8 +262,11 @@ def greedy_decode_pallas(
             top, state2 = lstm_stack_step_pallas(stacked, x, state[0], state[1], interpret=interpret)
         else:
             top, state2 = gru_stack_step_pallas(stacked, x, state, interpret=interpret)
-        logits = jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
-        tok = jnp.argmax(logits, axis=-1)
+        if vocab_kernel:
+            tok = project_argmax_pallas(vocab, top, interpret=interpret)
+        else:
+            logits = jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
+            tok = jnp.argmax(logits, axis=-1)
         return (params["embedding"][tok], state2), tok
 
     x0 = cnn_feature.astype(dtype)

@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: fused vocab projection + argmax for greedy decode.
+
+Every greedy decode step ends with ``argmax(top @ W + b)`` over the
+H=512 x V=9956 output projection — the dominant decode matmul (SURVEY
+§2.3's "vocab projection" slice of the cuDNN-fused hot loop,
+/root/reference/rnn.py:24,44-58).  In XLA this materializes a [B, V]
+f32 logits tensor in HBM (write) that argmax immediately reads back —
+at B=512 that is ~40MB of avoidable HBM traffic per step, 25x per
+decode, while the matmul itself only has to stream the 10MB weight
+matrix once.
+
+This kernel runs the projection in vocab-sized blocks and keeps a
+running (max, argmax) pair in VMEM scratch across the block grid, so
+the only HBM traffic is the weight stream plus a [B] int32 result:
+
+    for j in vocab blocks:            (grid, weight blocks double-buffered)
+        logits_j = top @ W[:, j] + b[j]          (MXU, f32 accum)
+        best    <- first-max merge with block j  (VPU)
+    tok = best_idx                                (written on last block)
+
+Tie semantics match ``jnp.argmax`` exactly: within a block the FIRST
+max index wins (iota + min), across blocks a strictly-greater max is
+required to displace an earlier block's winner.
+
+V is padded up to the block size with a -1e9 bias so padded columns are
+never selected; callers pad W/b ONCE per decode via ``prepare_vocab``
+(outside the scan), not per step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VOCAB_BLOCK = 512
+
+
+def prepare_vocab(linear: Dict[str, jax.Array], block_v: int = VOCAB_BLOCK) -> Dict[str, jax.Array]:
+    """Pad the output projection to a multiple of block_v columns.
+    Padded columns get bias -1e9: finite (no NaN hazards in bf16 math)
+    yet always below any real logit, so argmax never selects them."""
+    w, b = linear["w"], linear["b"]
+    pad = (-w.shape[1]) % block_v
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        b = jnp.concatenate([b, jnp.full((pad,), -1e9, b.dtype)])
+    return {"w": w, "b": b[None, :]}  # b as [1, Vpad] (2-D for TPU layout)
+
+
+def _kernel(top_ref, w_ref, b_ref, tok_ref, best_val, best_idx, *, n_blocks, block_v):
+    j = pl.program_id(0)
+    logits = (
+        jnp.dot(top_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...].astype(jnp.float32)
+    )  # [B, block_v]
+    local_max = jnp.max(logits, axis=1, keepdims=True)  # [B, 1]
+    # First max index within the block: iota where logits==max, then min.
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    local_arg = jnp.min(
+        jnp.where(logits == local_max, iota, jnp.int32(2**30)), axis=1, keepdims=True
+    ) + j * block_v  # [B, 1] global vocab index
+
+    @pl.when(j == 0)
+    def _():
+        best_val[...] = local_max
+        best_idx[...] = local_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = local_max > best_val[...]  # strict: earlier block wins ties
+        best_val[...] = jnp.where(better, local_max, best_val[...])
+        best_idx[...] = jnp.where(better, local_arg, best_idx[...])
+
+    @pl.when(j == n_blocks - 1)
+    def _():
+        tok_ref[...] = best_idx[...]
+
+
+def _project_argmax_raw(w, b, top, *, block_v, interpret):
+    B, H = top.shape
+    Vpad = w.shape[1]
+    assert Vpad % block_v == 0, (Vpad, block_v)
+    n_blocks = Vpad // block_v
+
+    tok = pl.pallas_call(
+        functools.partial(_kernel, n_blocks=n_blocks, block_v=block_v),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(top, w, b)
+    return tok[:, 0]
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned(block_v: int, interpret: bool):
+    """Batch-parallel GSPMD rule (ops/partition.py): under a dp mesh the
+    kernel runs per-shard on the local batch; w/b stay replicated.  A
+    vocab(mp)-SHARDED projection must not route here — forcing w
+    replicated would all-gather it every step; callers keep that case in
+    XLA (see models/captioner.py policy)."""
+    from show_tell_tpu.ops.partition import batch_partitioned
+
+    return batch_partitioned(
+        functools.partial(_project_argmax_raw, block_v=block_v, interpret=interpret),
+        arg_batch_dims=(None, None, 0),
+        out_batch_dims=(0,),
+        sharding_rule="h v, u v, b h -> b",
+    )
+
+
+def project_argmax_pallas(
+    prepared: Dict[str, jax.Array],  # from prepare_vocab: w [H, Vpad], b [1, Vpad]
+    top: jax.Array,  # [B, H]
+    block_v: int = VOCAB_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns argmax(top @ w + b, axis=-1) as [B] int32 — without the
+    [B, V] logits HBM round-trip."""
+    return _partitioned(block_v, interpret)(prepared["w"], prepared["b"], top)
