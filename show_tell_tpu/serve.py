@@ -60,9 +60,7 @@ class Captioner:
         (tests/test_serve.py)."""
         self.cfg = cfg
         self.vocab = vocab
-        if early_exit and cfg.is_attention:
-            print("early_exit is not supported for attention variants; serving the full %d-step decode." % cfg.max_caption_length)
-        self.early_exit = early_exit and not cfg.is_attention
+        self.early_exit = early_exit
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
         cast = lambda t: jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
@@ -177,12 +175,19 @@ class Captioner:
                         )
                     return beam_search_decode(self.params["decoder"], cfg.decoder_config(), feats, beam_size)
                 if self.early_exit:
-                    from show_tell_tpu.models.decoder import greedy_decode
-
                     feats, _ = encoder_forward(
                         self.params["encoder"], self.bn_state, cfg.encoder_config(), images, training=False
                     )
                     end_idx = self.vocab.word_to_index[self.vocab.end_token()]
+                    if cfg.is_attention:
+                        from show_tell_tpu.models.attention import attn_greedy_decode
+
+                        return attn_greedy_decode(
+                            self.params["decoder"], cfg.decoder_config(), feats,
+                            cfg.start_token, end_token=end_idx,
+                        )
+                    from show_tell_tpu.models.decoder import greedy_decode
+
                     return greedy_decode(self.params["decoder"], cfg.decoder_config(), feats, end_token=end_idx)
                 return captioner_greedy_decode(self.params, self.bn_state, cfg, images)
 
@@ -245,6 +250,21 @@ class Captioner:
         return np.asarray(img, dtype=np.uint8)
 
 
+def _load_with_cache(captioner: Captioner, paths, cache, fast_jpeg: bool) -> np.ndarray:
+    """load_files with optional ServeImageCache: cached rows are served
+    from .npy, only the misses hit the JPEG decoder (and are cached)."""
+    if cache is None:
+        return captioner.load_files(paths, fast_jpeg=fast_jpeg)
+    out = [cache.get(p) for p in paths]
+    miss = [i for i, a in enumerate(out) if a is None]
+    if miss:
+        decoded = captioner.load_files([paths[i] for i in miss], fast_jpeg=fast_jpeg)
+        for j, i in enumerate(miss):
+            out[i] = decoded[j]
+            cache.put(paths[i], decoded[j])
+    return np.stack(out)
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     """Deployment CLI: ``python -m show_tell_tpu.serve --ckpt model.ckpt
     --vocab vocab.pkl img1.jpg photos_dir/ ...``
@@ -277,6 +297,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--mp", type=int, default=1, help="tensor-shard vocab-sized decoder params over this many devices")
     p.add_argument("--early_exit", type=int, default=0, help="stop greedy decode when every sequence emitted <end>")
     p.add_argument("--fast_jpeg", type=int, default=0, help="DCT-domain scaled JPEG decode (~2x host decode speed)")
+    p.add_argument("--image_cache", default="", help="decoded-image cache dir (.npy per image keyed by path+size+mtime: stale entries re-decode automatically; shareable across serve runs)")
     p.add_argument("--json", action="store_true", help='emit {"image": ..., "caption": ...} JSON lines')
     args = p.parse_args(argv)
 
@@ -313,17 +334,38 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.dp > 1 and B % args.dp:
         B += args.dp - B % args.dp  # batches shard over dp; round up
         print("batch_size rounded up to %d (multiple of dp=%d)" % (B, args.dp), file=sys.stderr)
-    for lo in range(0, len(paths), B):
-        chunk = paths[lo : lo + B]
-        imgs = captioner.load_files(chunk, fast_jpeg=bool(args.fast_jpeg))
+
+    cache = None
+    if args.image_cache:
+        from show_tell_tpu.data.serve_cache import ServeImageCache
+
+        cache = ServeImageCache(args.image_cache, IMAGE_SIZE, fast_jpeg=bool(args.fast_jpeg))
+
+    chunks = [paths[lo : lo + B] for lo in range(0, len(paths), B)]
+
+    def load(chunk):
+        imgs = _load_with_cache(captioner, chunk, cache, bool(args.fast_jpeg))
         if len(chunk) < B:  # pad decoded pixels, not paths: static batch
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], B - len(chunk), axis=0)])
-        captions = captioner.caption(imgs, args.beam_size)[: len(chunk)]
-        for path, cap in zip(chunk, captions):
-            if args.json:
-                print(_json.dumps({"image": path, "caption": cap}))
-            else:
-                print("%s\t%s" % (path, cap))
+        return imgs
+
+    # Host JPEG decode of batch k+1 overlaps the chip's decode of batch
+    # k (one background thread — the training loop's prefetch pattern,
+    # data/device_prefetch.py; libjpeg/PIL release the GIL).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as pool:
+        nxt = pool.submit(load, chunks[0])
+        for i, chunk in enumerate(chunks):
+            imgs = nxt.result()
+            if i + 1 < len(chunks):
+                nxt = pool.submit(load, chunks[i + 1])
+            captions = captioner.caption(imgs, args.beam_size)[: len(chunk)]
+            for path, cap in zip(chunk, captions):
+                if args.json:
+                    print(_json.dumps({"image": path, "caption": cap}))
+                else:
+                    print("%s\t%s" % (path, cap))
     return 0
 
 
