@@ -55,6 +55,26 @@ def _flagship_cfg(variant: str = "gru"):
     )
 
 
+def _analytic_macs(cfg):
+    """Analytic decode MACs for the MFU lines: (per-step, per-image-once).
+
+    Decoder step: gates*(in0*H + H*H) for layer 0 + 2*H*H per upper
+    layer, + the H*V vocab projection; attention adds the per-step
+    context math, with att1 hoisted once per image (models/attention.py).
+    Encoder (ResNet-101@224) is a separate 7.80e9 MACs/image constant at
+    the call sites (torchvision-reported madds)."""
+    E, H, V_ = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
+    gates = 3 if cfg.cell_type == "gru" else 4  # GRU r,z,n / LSTM i,f,g,o
+    in0 = 2 * E if cfg.is_attention else E  # attn concatenates word+context
+    step_macs = gates * (in0 * H + H * H) + (cfg.num_layers - 1) * gates * (2 * H * H) + H * V_
+    once_macs = 0.0
+    if cfg.is_attention:  # per-step attention/context/embed-proj + hoisted att1
+        C, A, P = cfg.nos_filters, cfg.attn_dim, 49
+        step_macs += H * A + P * A + 2 * P * C + C * E  # dec_att, full_att, alpha+ctx, embed proj
+        once_macs = P * C * A  # hoisted att1 (per image, not per step)
+    return step_macs, once_macs
+
+
 def _flagship_params(variant: str = "gru"):
     """Flagship config + params/state cast to the bf16 serving dtype —
     shared by every serving bench."""
@@ -144,15 +164,9 @@ def bench_train(batch: int = 256, variant: str = "gru"):
     # (backbone takes no backward, cnn.py:47) + decoder fwd+bwd (3x fwd
     # matmul FLOPs) over the padded T steps.  Matmuls under jax default
     # precision run bf16-pass on TPU even for f32 arrays.
-    E, H, V_ = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
-    gates = 3 if cfg.cell_type == "gru" else 4
-    in0 = 2 * E if cfg.is_attention else E
-    step_macs = gates * (in0 * H + H * H) + (cfg.num_layers - 1) * gates * (2 * H * H) + H * V_
-    once_macs = 0.0
-    if cfg.is_attention:  # per-step context; att1/init_h hoisted once
-        C, A, P = cfg.nos_filters, cfg.attn_dim, 49
-        step_macs += H * A + P * A + 2 * P * C + C * E
-        once_macs = P * C * A + C * H
+    step_macs, once_macs = _analytic_macs(cfg)
+    if cfg.is_attention:
+        once_macs += cfg.nos_filters * cfg.hidden_dim  # init_h (trains, unlike decode)
     flops_per_sample = 2 * 7.80e9 + 3 * 2 * (step_macs * T + once_macs)
     mfu = flops_per_sample * sps / 197e12
     print(
@@ -187,16 +201,8 @@ def main(variant: str = "gru", batch_default: int = 512):
     # Analytic-FLOPs MFU vs the v5e bf16 peak (197 TFLOP/s).  Encoder:
     # ResNet-101@224 = 7.80 GMACs/image (torchvision-reported madds).
     # Decoder step: 5-layer GRU-512 (layer0 in-dim 256) + vocab proj.
-    E, H, V_, L_STEPS = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size, cfg.max_caption_length
-    gates = 3 if cfg.cell_type == "gru" else 4  # GRU r,z,n / LSTM i,f,g,o
-    in0 = 2 * E if cfg.is_attention else E  # attn concatenates word+context
-    step_macs = gates * (in0 * H + H * H) + (cfg.num_layers - 1) * gates * (2 * H * H) + H * V_
-    once_macs = 0.0
-    if cfg.is_attention:  # per-step attention/context/embed-proj + hoisted att1
-        C, A, P = cfg.nos_filters, cfg.attn_dim, 49
-        step_macs += H * A + P * A + 2 * P * C + C * E  # dec_att, full_att, alpha+ctx, embed proj
-        once_macs = P * C * A  # hoisted att1 (per image, not per step)
-    flops_per_img = 2 * (7.80e9 + step_macs * L_STEPS + once_macs)
+    step_macs, once_macs = _analytic_macs(cfg)
+    flops_per_img = 2 * (7.80e9 + step_macs * cfg.max_caption_length + once_macs)
     mfu = flops_per_img * batch / dt_iter / 197e12
     print(
         json.dumps(
@@ -267,6 +273,13 @@ def bench_beam(beam: int = 3, batch: int = 256):
     images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
     dt = _median_time(serve, [(images, jax.random.fold_in(key, 100 + i)) for i in range(25)])
     cps = batch / dt
+    # Analytic MFU, same treatment as the greedy line: encoder once per
+    # image; decode step 0 runs B rows, steps 1..T-1 run B*K hypothesis
+    # rows through the identical step math (decode/beam.py).
+    step_macs, once_macs = _analytic_macs(cfg)
+    T = cfg.max_caption_length
+    flops_per_img = 2 * (7.80e9 + step_macs * (1 + (T - 1) * beam) + once_macs)
+    mfu = flops_per_img * batch / dt / 197e12
     print(
         json.dumps(
             {
@@ -274,6 +287,7 @@ def bench_beam(beam: int = 3, batch: int = 256):
                 "value": round(cps, 2),
                 "unit": "captions/s/chip",
                 "vs_baseline": round(cps / 1250.0, 3),
+                "mfu": round(mfu, 3),
             }
         )
     )

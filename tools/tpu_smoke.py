@@ -116,8 +116,22 @@ def main():
 def bench_decode():
     """`python tools/tpu_smoke.py --bench`: Pallas hybrid decode vs the
     XLA scan at serving shapes (VERDICT r1 item 4).  Each timing is a
-    median of 5 reps x 5 iters after 12 warmups; run in a fresh process."""
+    median of 5 reps x 5 iters after 12 warmups; run in a fresh process.
+
+    Besides the printed table, writes one JSON line per kernel A/B to
+    smoke_bench.json at the repo root so round-over-round kernel
+    regressions are diffable (`git diff smoke_bench.json`)."""
+    import json
     import time
+
+    rows = []
+
+    def record(kernel, B, t_xla, t_pallas):
+        rows.append({
+            "kernel": kernel, "batch": B,
+            "xla_ms": round(t_xla * 1e3, 2), "pallas_ms": round(t_pallas * 1e3, 2),
+            "speedup": round(t_xla / t_pallas, 2),
+        })
 
     from show_tell_tpu.models.decoder import DecoderConfig, greedy_decode, init_decoder_params
     from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
@@ -163,6 +177,7 @@ def bench_decode():
         xla_fn = jax.jit(lambda f: greedy_decode(params, cfg, f))
         pls_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False))
         t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
+        record("gru_greedy", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
     print("Attention GRU greedy decode, 25 steps, E=H=A=512 V=9956 bf16:")
@@ -173,6 +188,7 @@ def bench_decode():
         xla_fn = jax.jit(lambda f: attn_greedy_decode(ap, acfg, f, 1))
         pls_fn = jax.jit(lambda f: attn_greedy_decode_pallas(ap, acfg, f, 1, interpret=False))
         t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
+        record("attn_greedy", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
     from show_tell_tpu.decode.beam import attn_beam_search_decode
@@ -185,7 +201,14 @@ def bench_decode():
         xla_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, use_pallas=False))
         pls_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, use_pallas=True))
         t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
+        record("attn_beam3", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
+
+    out_path = os.path.join(os.path.dirname(__file__), "..", "smoke_bench.json")
+    with open(out_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    print("wrote", os.path.normpath(out_path))
     return 0
 
 
