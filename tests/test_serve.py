@@ -141,6 +141,37 @@ def test_captioner_dp_mp_serving_matches_single_device(trained):
     assert tp_cap.caption(images, beam_size=2) == single.caption(images, beam_size=2)
 
 
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2)])
+def test_captioner_attn_sharded_serving_matches_single_device(trained, dp, mp):
+    """Attention-variant serving over dp=8 and dp=4 x mp=2 meshes must
+    produce single-device captions — the attention param tree (attn
+    projections, init_h/init_c) sharded end-to-end, incl. the Pallas
+    context kernel's GSPMD rule when auto-on (SURVEY §4e; VERDICT r2
+    item 3)."""
+    from show_tell_tpu.models.captioner import CaptionerConfig, init_captioner
+    from show_tell_tpu.vocab.vocabulary import load_vocab
+
+    data_root, out_dir = trained
+    assert len(jax.devices()) >= 8
+    vocab = load_vocab(os.path.join(out_dir, "vocab.pkl"))
+    cfg = CaptionerConfig(
+        variant="attn_lstm", resnet_version=18, embed_dim=16, hidden_dim=24,
+        vocab_size=len(vocab), num_layers=1, nos_filters=512, attn_dim=16,
+    )
+    params, bn_state = init_captioner(jax.random.PRNGKey(3), cfg)
+    images = np.random.RandomState(4).randint(0, 255, (8, 224, 224, 3), dtype=np.uint8)
+
+    single = Captioner(params, bn_state, cfg, vocab, compute_dtype="float32")
+    ref = single.caption(images)
+    sharded = Captioner(params, bn_state, cfg, vocab, compute_dtype="float32", dp=dp, mp=mp)
+    if mp > 1:  # vocab-sized tensors actually sharded over mp
+        lin_sh = sharded.params["decoder"]["linear"]["w"].sharding
+        assert lin_sh.spec == jax.sharding.PartitionSpec(None, "mp"), lin_sh
+    assert sharded.caption(images) == ref
+    # attention beam search over the mesh too
+    assert sharded.caption(images, beam_size=2) == single.caption(images, beam_size=2)
+
+
 def test_captioner_from_torch_checkpoint(tmp_path):
     """Captioner loads a reference-format torch checkpoint directly."""
     torch = pytest.importorskip("torch")

@@ -116,15 +116,27 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
 
 
-def test_dp_sharded_step_matches_single_device():
+def _mesh_cfg(variant):
+    """Single-layer tiny config per variant.  Attention uses the
+    test_loss_decreases settings (small alpha_c; see comment there) and
+    exercises the variant-specific params under sharding: attn
+    projections, init_h/init_c, the alpha penalty's gradients."""
+    cfg = CFG._replace(variant=variant, num_layers=1)
+    if cfg.is_attention:
+        cfg = cfg._replace(nos_filters=512, attn_dim=16, alpha_c=0.01)
+    return cfg
+
+
+@pytest.mark.parametrize("variant", ["gru", "attn", "attn_lstm"])
+def test_dp_sharded_step_matches_single_device(variant):
     """8-device dp mesh must produce the same params as 1 device."""
     from show_tell_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
     assert len(jax.devices()) >= 8
     opt = make_optimizer("SGD", 0.01, 0.9)
-    cfg = CFG._replace(num_layers=1)
+    cfg = _mesh_cfg(variant)
     step = make_train_step(cfg, opt, augment=False)
-    images, captions, lengths = make_batch(np.random.RandomState(4), B=8)
+    images, captions, lengths = make_batch(np.random.RandomState(4), B=8, img=64 if cfg.is_attention else 32)
 
     ts_single = create_train_state(jax.random.PRNGKey(5), cfg, opt)
     ts_a, loss_a = step(ts_single, images, captions, lengths)
@@ -142,7 +154,8 @@ def test_dp_sharded_step_matches_single_device():
     )
 
 
-def test_tp_dp_hybrid_step_matches_single_device():
+@pytest.mark.parametrize("variant", ["gru", "attn", "attn_lstm"])
+def test_tp_dp_hybrid_step_matches_single_device(variant):
     """dp=4 x mp=2 mesh with vocab-sharded decoder params must reproduce
     the single-device step (GSPMD inserts the collectives)."""
     from show_tell_tpu.parallel.mesh import make_mesh, shard_batch, shard_train_state
@@ -151,9 +164,9 @@ def test_tp_dp_hybrid_step_matches_single_device():
     # SGD: Adam's first-step update is effectively sign(grad), which
     # amplifies float-reduction noise into full-size mismatches.
     opt = make_optimizer("SGD", 0.01, 0.9)
-    cfg = CFG._replace(num_layers=1)
+    cfg = _mesh_cfg(variant)
     step = make_train_step(cfg, opt, augment=False)
-    images, captions, lengths = make_batch(np.random.RandomState(7), B=8)
+    images, captions, lengths = make_batch(np.random.RandomState(7), B=8, img=64 if cfg.is_attention else 32)
 
     ts_single = create_train_state(jax.random.PRNGKey(8), cfg, opt)
     ts_a, loss_a = step(ts_single, images, captions, lengths)
