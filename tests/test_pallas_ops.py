@@ -113,6 +113,31 @@ def test_attention_context_pallas_matches_reference():
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha), rtol=2e-5, atol=2e-5)
 
 
+def test_stem_fused_pallas_matches_xla_stem():
+    """Fully fused stem kernel (normalize + s2d conv1 + eval-BN + relu
+    [+ 3x3/s2 maxpool]) == the XLA stem ops, from uint8 pixels."""
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.models.resnet import BN_EPS, _max_pool_3x3s2, init_resnet_params
+    from show_tell_tpu.ops.stem_pallas import prepare_stem, stem_fused_pallas
+
+    params, state = init_resnet_params(jax.random.PRNGKey(0), 18)
+    imgs = np.random.RandomState(0).randint(0, 255, (2, 224, 224, 3), dtype=np.uint8)
+
+    x = preprocess_images(jnp.asarray(imgs), jax.random.PRNGKey(0), augment=False, dtype=jnp.float32)
+    h = jax.lax.conv_general_dilated(
+        x, params["conv1.weight"], (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    mult = params["bn1.weight"] * jax.lax.rsqrt(state["bn1.running_var"] + BN_EPS)
+    h = jax.nn.relu(h * mult + (params["bn1.bias"] - state["bn1.running_mean"] * mult))
+
+    prepared = prepare_stem(params, state, dtype=jnp.float32)
+    got = stem_fused_pallas(jnp.asarray(imgs), prepared, pool=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(h), rtol=2e-5, atol=2e-5)
+    got_p = stem_fused_pallas(jnp.asarray(imgs), prepared, pool=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(_max_pool_3x3s2(h)), rtol=2e-5, atol=2e-5)
+
+
 def test_s2d_stem_matches_conv1():
     from show_tell_tpu.ops.s2d_stem import stem_s2d, transform_conv1_weight
 
