@@ -265,6 +265,49 @@ def _load_with_cache(captioner: Captioner, paths, cache, fast_jpeg: bool) -> np.
     return np.stack(out)
 
 
+def caption_paths(
+    captioner: Captioner,
+    paths: Sequence[str],
+    batch_size: int,
+    beam_size: int = 0,
+    cache=None,
+    fast_jpeg: bool = False,
+    overlap: bool = True,
+):
+    """Caption files in fixed-size batches, yielding (path, caption).
+
+    overlap=True (the CLI default) double-buffers: the host decodes
+    batch k+1 on a background thread while the chip captions batch k
+    (the training loop's prefetch pattern, data/device_prefetch.py;
+    libjpeg/PIL release the GIL).  overlap=False is the serial A-side
+    for bench.py --serve_e2e."""
+    B = batch_size
+    chunks = [paths[lo : lo + B] for lo in range(0, len(paths), B)]
+
+    def load(chunk):
+        imgs = _load_with_cache(captioner, chunk, cache, fast_jpeg)
+        if len(chunk) < B:  # pad decoded pixels, not paths: static batch
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], B - len(chunk), axis=0)])
+        return imgs
+
+    if not overlap:
+        for chunk in chunks:
+            for pair in zip(chunk, captioner.caption(load(chunk), beam_size)[: len(chunk)]):
+                yield pair
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as pool:
+        nxt = pool.submit(load, chunks[0])
+        for i, chunk in enumerate(chunks):
+            imgs = nxt.result()
+            if i + 1 < len(chunks):
+                nxt = pool.submit(load, chunks[i + 1])
+            for pair in zip(chunk, captioner.caption(imgs, beam_size)[: len(chunk)]):
+                yield pair
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     """Deployment CLI: ``python -m show_tell_tpu.serve --ckpt model.ckpt
     --vocab vocab.pkl img1.jpg photos_dir/ ...``
@@ -341,31 +384,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
         cache = ServeImageCache(args.image_cache, IMAGE_SIZE, fast_jpeg=bool(args.fast_jpeg))
 
-    chunks = [paths[lo : lo + B] for lo in range(0, len(paths), B)]
-
-    def load(chunk):
-        imgs = _load_with_cache(captioner, chunk, cache, bool(args.fast_jpeg))
-        if len(chunk) < B:  # pad decoded pixels, not paths: static batch
-            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], B - len(chunk), axis=0)])
-        return imgs
-
-    # Host JPEG decode of batch k+1 overlaps the chip's decode of batch
-    # k (one background thread — the training loop's prefetch pattern,
-    # data/device_prefetch.py; libjpeg/PIL release the GIL).
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(1) as pool:
-        nxt = pool.submit(load, chunks[0])
-        for i, chunk in enumerate(chunks):
-            imgs = nxt.result()
-            if i + 1 < len(chunks):
-                nxt = pool.submit(load, chunks[i + 1])
-            captions = captioner.caption(imgs, args.beam_size)[: len(chunk)]
-            for path, cap in zip(chunk, captions):
-                if args.json:
-                    print(_json.dumps({"image": path, "caption": cap}))
-                else:
-                    print("%s\t%s" % (path, cap))
+    for path, cap in caption_paths(
+        captioner, paths, B, args.beam_size, cache=cache, fast_jpeg=bool(args.fast_jpeg)
+    ):
+        if args.json:
+            print(_json.dumps({"image": path, "caption": cap}))
+        else:
+            print("%s\t%s" % (path, cap))
     return 0
 
 
