@@ -50,9 +50,17 @@ def _beam_engine(
     T: int,
     end_token: int,
     pad_token: int,
+    sparse: bool = False,
 ) -> jax.Array:
     """Generic batched beam over a first-step distribution + step fn.
-    Returns best-hypothesis token ids [B, T]."""
+    Returns best-hypothesis token ids [B, T].
+
+    sparse=True: step_fn returns each row's top-K candidates as
+    (cand_logp [B*K, K], cand_ids [B*K, K]) instead of the dense
+    [B*K, V] distribution (the fused projection+top-k Pallas kernel,
+    ops/vocab_pallas.project_topk_pallas).  Mathematically identical:
+    the global top-K over K rows is contained in the union of the rows'
+    top-Ks, so reducing [B, K*K] candidates == reducing [B, K*V]."""
     B, V = logp0.shape
     scores, toks0 = jax.lax.top_k(logp0, K)  # [B, K]
     state = tile_state(state1)
@@ -62,17 +70,33 @@ def _beam_engine(
     def body(carry, _):
         tokens, state, scores, finished = carry
         logp, state2 = step_fn(tokens, state)
-        logp = logp.reshape(B, K, V)
 
-        # Retired beams: only <pad> continues, at zero cost
-        # (beam_search.py:72-76 end-token retirement semantics).
-        pad_only = jnp.full((V,), NEG_INF).at[pad_token].set(0.0)
-        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+        if sparse:
+            clogp, cids = logp  # [B*K, K] each
+            Kc = clogp.shape[1]
+            clogp = clogp.reshape(B, K, Kc)
+            cids = cids.reshape(B, K, Kc)
+            # Retired beams: only <pad> continues, at zero cost
+            # (beam_search.py:72-76 end-token retirement semantics).
+            pad_logp = jnp.where(jnp.arange(Kc) == 0, 0.0, NEG_INF)
+            clogp = jnp.where(finished[..., None], pad_logp[None, None, :], clogp)
+            cids = jnp.where(finished[..., None], pad_token, cids)
+            cand = scores[..., None] + clogp  # [B, K, Kc]
+            new_scores, idx = jax.lax.top_k(cand.reshape(B, K * Kc), K)
+            parent = idx // Kc  # [B, K]
+            new_tok = jnp.take_along_axis(cids.reshape(B, K * Kc), idx, axis=1)
+        else:
+            logp = logp.reshape(B, K, V)
 
-        cand = scores[..., None] + logp  # [B, K, V]
-        new_scores, idx = jax.lax.top_k(cand.reshape(B, K * V), K)
-        parent = idx // V  # [B, K]
-        new_tok = idx % V
+            # Retired beams: only <pad> continues, at zero cost
+            # (beam_search.py:72-76 end-token retirement semantics).
+            pad_only = jnp.full((V,), NEG_INF).at[pad_token].set(0.0)
+            logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+
+            cand = scores[..., None] + logp  # [B, K, V]
+            new_scores, idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+            parent = idx // V  # [B, K]
+            new_tok = idx % V
 
         state3 = gather_state(state2, parent)
         new_finished = jnp.take_along_axis(finished, parent, axis=1) | (new_tok == end_token)
@@ -110,6 +134,26 @@ def _rnn_state_helpers(B: int, K: int):
     return tile, gather
 
 
+def _sparse_projection(params, beam_size):
+    """The fused projection+top-k step for _beam_engine's sparse mode,
+    or None when it must not run (non-TPU backend unless interpreting is
+    fine, or an mp(vocab)-sharded projection — GSPMD's vocab-axis
+    collectives need the dense XLA path)."""
+    from show_tell_tpu.ops import vocab_projection_is_sharded
+
+    if vocab_projection_is_sharded(params["linear"]):
+        return None
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab, project_topk_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    vocab = prepare_vocab(params["linear"])  # padded ONCE, outside the scan
+
+    def proj(top):
+        return project_topk_pallas(vocab, top, beam_size, interpret=interpret)
+
+    return proj
+
+
 def beam_search_decode(
     params: Dict[str, Any],
     cfg: DecoderConfig,
@@ -117,9 +161,15 @@ def beam_search_decode(
     beam_size: int,
     end_token: int = 2,
     pad_token: int = 0,
+    use_pallas: "bool | None" = None,
 ) -> jax.Array:
     """Beam over the GRU/LSTM captioner; step 0 consumes the image
-    feature (rnn.py:41).  Returns [B, max_caption_length] ids."""
+    feature (rnn.py:41).  Returns [B, max_caption_length] ids.
+
+    use_pallas: None = measured auto (ops.pallas_beam_default): route
+    the per-step vocab projection through the fused projection+top-k
+    kernel — the [B*K, V] logits and the K*V-wide XLA top_k collapse to
+    [B*K, K] candidates.  Identical hypotheses (see _beam_engine)."""
     B, _ = cnn_feature.shape
     K, T = beam_size, cfg.max_caption_length
     step = stack_step(cfg.cell_type)
@@ -127,17 +177,35 @@ def beam_search_decode(
     def project(top):
         return jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
 
+    if use_pallas is None:
+        from show_tell_tpu.ops import pallas_beam_default
+
+        use_pallas = pallas_beam_default()
+    sparse_proj = _sparse_projection(params, K) if use_pallas else None
+
     state0 = init_state(cfg.cell_type, cfg.num_layers, B, cfg.hidden_dim, cnn_feature.dtype)
     top, state1 = step(params["rnn"], cnn_feature, state0)
     logp0 = jax.nn.log_softmax(project(top), axis=-1)
 
-    def step_fn(tokens, state):
-        x = params["embedding"][tokens]
-        top, state2 = step(params["rnn"], x, state)
-        return jax.nn.log_softmax(project(top), axis=-1), state2
+    if sparse_proj is not None:
+
+        def step_fn(tokens, state):
+            x = params["embedding"][tokens]
+            top, state2 = step(params["rnn"], x, state)
+            return sparse_proj(top), state2
+
+    else:
+
+        def step_fn(tokens, state):
+            x = params["embedding"][tokens]
+            top, state2 = step(params["rnn"], x, state)
+            return jax.nn.log_softmax(project(top), axis=-1), state2
 
     tile, gather = _rnn_state_helpers(B, K)
-    return _beam_engine(logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token)
+    return _beam_engine(
+        logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token,
+        sparse=sparse_proj is not None,
+    )
 
 
 def attn_beam_search_decode(
@@ -164,7 +232,8 @@ def attn_beam_search_decode(
     feats_tiled = jnp.repeat(feats_pm, K, axis=0)  # [B*K, P, C]
     att1_tiled = jnp.repeat(att1, K, axis=0)
 
-    if use_pallas is None:
+    auto = use_pallas is None
+    if auto:
         from show_tell_tpu.ops import pallas_auto_default
 
         use_pallas = pallas_auto_default()
@@ -185,18 +254,41 @@ def attn_beam_search_decode(
     def project(top):
         return _linear(params["linear"], top)
 
-    def one_step(w_emb, feats, a1, state):
+    # Sparse projection follows its own measured policy under auto
+    # (each kernel is flipped on its own A/B numbers); an explicit
+    # use_pallas=1/0 forces all kernels together.
+    if auto:
+        from show_tell_tpu.ops import pallas_beam_default
+
+        use_sparse = pallas_beam_default()
+    else:
+        use_sparse = use_pallas
+    sparse_proj = _sparse_projection(params, K) if use_sparse else None
+
+    def trunk(w_emb, feats, a1, state):
         context = context_fn(feats, a1, _last_h(state, cfg.cell_type))
         x = jnp.concatenate([w_emb, _linear(params["embed"], context).astype(w_emb.dtype)], axis=-1)
-        top, state2 = step(params["rnn"], x, state)
-        return jax.nn.log_softmax(project(top), axis=-1), state2
+        return step(params["rnn"], x, state)
 
     state0 = _init_hidden(params, cfg, cnn_feature)
     w0 = params["embedding"][jnp.full((B,), start_token, jnp.int32)]
-    logp0, state1 = one_step(w0, feats_pm, att1, state0)
+    top0, state1 = trunk(w0, feats_pm, att1, state0)
+    logp0 = jax.nn.log_softmax(project(top0), axis=-1)
 
-    def step_fn(tokens, state):
-        return one_step(params["embedding"][tokens], feats_tiled, att1_tiled, state)
+    if sparse_proj is not None:
+
+        def step_fn(tokens, state):
+            top, state2 = trunk(params["embedding"][tokens], feats_tiled, att1_tiled, state)
+            return sparse_proj(top), state2
+
+    else:
+
+        def step_fn(tokens, state):
+            top, state2 = trunk(params["embedding"][tokens], feats_tiled, att1_tiled, state)
+            return jax.nn.log_softmax(project(top), axis=-1), state2
 
     tile, gather = _rnn_state_helpers(B, K)
-    return _beam_engine(logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token)
+    return _beam_engine(
+        logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token,
+        sparse=sparse_proj is not None,
+    )

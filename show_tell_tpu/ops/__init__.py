@@ -15,6 +15,14 @@ def pallas_auto_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def pallas_beam_default() -> bool:
+    """Auto policy for the fused projection+top-k beam step
+    (ops/vocab_pallas.project_topk_pallas): pending an on-chip paired
+    A/B (tools/tpu_smoke.py --bench, smoke_bench.json) this stays off;
+    flip on the numbers, same procedure as every kernel policy."""
+    return False
+
+
 def vocab_projection_is_sharded(linear) -> bool:
     """True when the output projection is tensor-sharded (mp > 1 in
     parallel/mesh.py's vocab-axis rule).  The fused projection+argmax

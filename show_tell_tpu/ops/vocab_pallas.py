@@ -132,3 +132,109 @@ def project_argmax_pallas(
     """Returns argmax(top @ w + b, axis=-1) as [B] int32 — without the
     [B, V] logits HBM round-trip."""
     return _partitioned(block_v, interpret)(prepared["w"], prepared["b"], top)
+
+
+def _topk_kernel(top_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, m_sc, s_sc, *, n_blocks, block_v, k):
+    """Per-block top-k + online logsumexp.  Beam search only needs each
+    row's k best continuations and the softmax normalizer; the global
+    top-k over all blocks is the (cheap, [B, n_blocks*k]-wide) XLA
+    reduction of this kernel's output — the [B, V] logits tensor itself
+    never reaches HBM."""
+    j = pl.program_id(0)
+    logits = (
+        jnp.dot(top_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...].astype(jnp.float32)
+    )  # [B, block_v]
+
+    bm = jnp.max(logits, axis=1, keepdims=True)
+    bs = jnp.sum(jnp.exp(logits - bm), axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        m_sc[...] = bm
+        s_sc[...] = bs
+
+    @pl.when(j > 0)
+    def _():
+        m2 = jnp.maximum(m_sc[...], bm)
+        s_sc[...] = s_sc[...] * jnp.exp(m_sc[...] - m2) + bs * jnp.exp(bm - m2)
+        m_sc[...] = m2
+
+    # k extraction passes (k static, <= beam width): max, first-argmax,
+    # mask out — same tie semantics as jax.lax.top_k (first index wins).
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    vals = logits
+    for t in range(k):
+        mx = jnp.max(vals, axis=1, keepdims=True)
+        arg = jnp.min(jnp.where(vals == mx, iota, jnp.int32(2**30)), axis=1, keepdims=True)
+        vals_ref[:, t : t + 1] = mx
+        idx_ref[:, t : t + 1] = arg + j * block_v
+        vals = jnp.where(iota == arg, jnp.float32(-3e38), vals)
+
+    @pl.when(j == n_blocks - 1)
+    def _():
+        lse_ref[...] = m_sc[...] + jnp.log(s_sc[...])
+
+
+def _project_topk_raw(w, b, top, *, k, block_v, interpret):
+    B, H = top.shape
+    Vpad = w.shape[1]
+    assert Vpad % block_v == 0, (Vpad, block_v)
+    n_blocks = Vpad // block_v
+
+    vals, idx, lse = pl.pallas_call(
+        functools.partial(_topk_kernel, n_blocks=n_blocks, block_v=block_v, k=k),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_blocks * k), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_blocks * k), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, k), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(top, w, b)
+    return vals, idx, lse
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_topk(k: int, block_v: int, interpret: bool):
+    from show_tell_tpu.ops.partition import batch_partitioned
+
+    return batch_partitioned(
+        functools.partial(_project_topk_raw, k=k, block_v=block_v, interpret=interpret),
+        arg_batch_dims=(None, None, 0),
+        out_batch_dims=(0, 0, 0),
+        sharding_rule="h v, u v, b h -> b c, b c, b u",
+    )
+
+
+def project_topk_pallas(
+    prepared: Dict[str, jax.Array],  # from prepare_vocab
+    top: jax.Array,  # [B, H]
+    k: int,
+    block_v: int = VOCAB_BLOCK,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """log_softmax top-k without materializing [B, V] logits.
+
+    Returns (logp [B, k], ids [B, k]): each row's k best continuations
+    as log-probabilities + global vocab indices.  Mathematically equal
+    to ``lax.top_k(log_softmax(top @ w + b), k)`` — the global top-k of
+    a row is contained in the union of its per-block top-ks."""
+    vals, idx, lse = _partitioned_topk(k, block_v, interpret)(prepared["w"], prepared["b"], top)
+    best, flat = jax.lax.top_k(vals, k)  # [B, k] over n_blocks*k candidates
+    ids = jnp.take_along_axis(idx, flat, axis=1)
+    return best - lse, ids

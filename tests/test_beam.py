@@ -354,6 +354,26 @@ def test_attn_beam_pallas_context_matches_xla():
     np.testing.assert_array_equal(a, b)
 
 
+def test_beam_sparse_projection_matches_dense():
+    """The fused projection+top-k beam step (sparse candidates) must
+    produce the same hypotheses as the dense [B*K, V] path — the global
+    top-K over K rows is contained in the union of per-row top-Ks
+    (decode/beam.py _beam_engine sparse mode), for both cells and for
+    models that retire beams early."""
+    from show_tell_tpu.decode.beam import beam_search_decode
+
+    for cell, bias in (("gru", 0.0), ("lstm", 0.0), ("gru", 3.0)):
+        cfg = DecoderConfig(cell, E, H, V, L, max_caption_length=9)
+        params = init_decoder_params(jax.random.PRNGKey(6), cfg)
+        params = dict(params)
+        params["linear"] = dict(params["linear"])
+        params["linear"]["b"] = params["linear"]["b"].at[END].add(bias)  # bias>0: early retirement
+        feat = jnp.asarray(np.random.RandomState(7).randn(4, E).astype(np.float32))
+        dense = np.asarray(beam_search_decode(params, cfg, feat, 3, use_pallas=False))
+        sparse = np.asarray(beam_search_decode(params, cfg, feat, 3, use_pallas=True))
+        np.testing.assert_array_equal(sparse, dense, err_msg="%s bias=%s" % (cell, bias))
+
+
 def test_attn_lstm_beam1_equals_greedy_prefix():
     """Beam engine handles the attention-LSTM (h, c) state tuple: width-1
     beam equals the greedy decode up to <end> retirement."""
