@@ -73,6 +73,28 @@ def main():
     agree = (a == b).mean()
     ok &= check("pallas greedy decode (bf16)", agree > 0.95, "token agreement=%.3f" % agree)
 
+    from show_tell_tpu.ops.vocab_pallas import (
+        prepare_vocab,
+        project_argmax_pallas,
+        project_topk_pallas,
+    )
+
+    lin32 = {"w": jnp.asarray(rng.randn(H, V).astype(np.float32)).astype(bf),
+             "b": jnp.asarray(rng.randn(V).astype(np.float32)).astype(bf)}
+    top_in = jnp.asarray(rng.randn(128, H).astype(np.float32)).astype(bf)
+    logits = jnp.dot(top_in, lin32["w"], preferred_element_type=jnp.float32) + lin32["b"].astype(jnp.float32)
+    prepared = prepare_vocab(lin32)
+    tok = np.asarray(jax.jit(lambda t: project_argmax_pallas(prepared, t))(top_in))
+    agree = (tok == np.asarray(jnp.argmax(logits, axis=-1))).mean()
+    ok &= check("vocab projection+argmax kernel", agree == 1.0, "agreement=%.3f" % agree)
+
+    tv, ti = jax.jit(lambda t: project_topk_pallas(prepared, t, 3))(top_in)
+    rv, ri = jax.lax.top_k(jax.nn.log_softmax(logits, axis=-1), 3)
+    ids_ok = (np.asarray(ti) == np.asarray(ri)).mean()
+    vdiff = float(jnp.abs(tv - rv).max())
+    ok &= check("vocab projection+top-k kernel", ids_ok == 1.0 and vdiff < 1e-3,
+                "ids=%.3f lsediff=%.1e" % (ids_ok, vdiff))
+
     from show_tell_tpu.models.attention import AttnDecoderConfig, attention_net, init_attn_decoder_params
     from show_tell_tpu.ops.attention_pallas import attention_context_pallas, precompute_att1
 
@@ -94,6 +116,20 @@ def main():
     got = preprocess_images_pallas(imgs, dtype=jnp.float32, interpret=False)
     diff = float(jnp.abs(got - ref).max())
     ok &= check("preprocess kernel", diff < 1e-5, "maxdiff=%.2e" % diff)
+
+    from show_tell_tpu.models.resnet import BN_EPS, _max_pool_3x3s2, init_resnet_params
+    from show_tell_tpu.ops.stem_pallas import prepare_stem, stem_fused_pallas
+
+    rp, rs = init_resnet_params(jax.random.PRNGKey(5), 18)
+    x32 = preprocess_images(imgs, jax.random.PRNGKey(0), augment=False, dtype=jnp.float32)
+    h = jax.lax.conv_general_dilated(
+        x32, rp["conv1.weight"], (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    mult = rp["bn1.weight"] * jax.lax.rsqrt(rs["bn1.running_var"] + BN_EPS)
+    ref_stem = _max_pool_3x3s2(jax.nn.relu(h * mult + (rp["bn1.bias"] - rs["bn1.running_mean"] * mult)))
+    got_stem = jax.jit(lambda u: stem_fused_pallas(u, prepare_stem(rp, rs, dtype=jnp.float32)))(imgs)
+    diff = float(jnp.abs(got_stem - ref_stem).max())
+    ok &= check("fused stem kernel", diff < 1e-2, "maxdiff=%.2e" % diff)
 
     from show_tell_tpu.models.captioner import CaptionerConfig
     from show_tell_tpu.train.optim import make_optimizer
@@ -189,6 +225,19 @@ def bench_decode():
         pls_fn = jax.jit(lambda f: attn_greedy_decode_pallas(ap, acfg, f, 1, interpret=False))
         t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
         record("attn_greedy", B, t_x, t_p)
+        print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
+
+    from show_tell_tpu.decode.beam import beam_search_decode
+
+    print("GRU beam-3 decode, 25 steps (sparse projection+top-k kernel):")
+    for B in (256,):
+        cfg = DecoderConfig("gru", E, H, V, L)
+        params = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
+        feat_set = variants(jnp.zeros((B, E), bf))
+        xla_fn = jax.jit(lambda f: beam_search_decode(params, cfg, f, 3, use_pallas=False))
+        pls_fn = jax.jit(lambda f: beam_search_decode(params, cfg, f, 3, use_pallas=True))
+        t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
+        record("gru_beam3", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
     from show_tell_tpu.decode.beam import attn_beam_search_decode
