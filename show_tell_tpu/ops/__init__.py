@@ -17,9 +17,14 @@ def pallas_auto_default() -> bool:
 
 def pallas_beam_default() -> bool:
     """Auto policy for the fused projection+top-k beam step
-    (ops/vocab_pallas.project_topk_pallas): pending an on-chip paired
-    A/B (tools/tpu_smoke.py --bench, smoke_bench.json) this stays off;
-    flip on the numbers, same procedure as every kernel policy."""
+    (ops/vocab_pallas.project_topk_pallas): OFF, by measurement.
+    On-chip paired A/B (tools/tpu_smoke.py --bench, smoke_bench.json):
+    GRU beam-3 at B=256 runs 0.93x with the sparse kernel — its k
+    sequential max/argmax/mask passes per vocab block cost more VPU
+    time than the avoided [B*K, V] logits HBM round-trip saves.  The
+    kernel stays available (--use_pallas 1, sparse == dense tested);
+    the attention beam's win comes from the context kernel (1.23x at
+    B=128), which follows pallas_auto_default, not this flag."""
     return False
 
 

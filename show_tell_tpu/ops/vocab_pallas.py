@@ -162,13 +162,16 @@ def _topk_kernel(top_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, m_sc, s_sc, 
 
     # k extraction passes (k static, <= beam width): max, first-argmax,
     # mask out — same tie semantics as jax.lax.top_k (first index wins).
+    # Each grid step owns output row j of the [n_blocks, B, k] results
+    # (a [1, B, k] block is Mosaic-legal; a [B, k] lane-slice of
+    # [B, n_blocks*k] is not — lane blocks must be 128-divisible).
     iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     vals = logits
     for t in range(k):
         mx = jnp.max(vals, axis=1, keepdims=True)
         arg = jnp.min(jnp.where(vals == mx, iota, jnp.int32(2**30)), axis=1, keepdims=True)
-        vals_ref[:, t : t + 1] = mx
-        idx_ref[:, t : t + 1] = arg + j * block_v
+        vals_ref[0, :, t : t + 1] = mx
+        idx_ref[0, :, t : t + 1] = arg + j * block_v
         vals = jnp.where(iota == arg, jnp.float32(-3e38), vals)
 
     @pl.when(j == n_blocks - 1)
@@ -185,8 +188,8 @@ def _project_topk_raw(w, b, top, *, k, block_v, interpret):
     vals, idx, lse = pl.pallas_call(
         functools.partial(_topk_kernel, n_blocks=n_blocks, block_v=block_v, k=k),
         out_shape=(
-            jax.ShapeDtypeStruct((B, n_blocks * k), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_blocks * k), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, B, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, B, k), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ),
         grid=(n_blocks,),
@@ -196,8 +199,8 @@ def _project_topk_raw(w, b, top, *, k, block_v, interpret):
             pl.BlockSpec((1, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((B, k), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, k), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, k), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, k), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -206,6 +209,9 @@ def _project_topk_raw(w, b, top, *, k, block_v, interpret):
         ],
         interpret=interpret,
     )(top, w, b)
+    # [n_blocks, B, k] -> [B, n_blocks*k] (tiny XLA transpose+reshape).
+    vals = jnp.moveaxis(vals, 0, 1).reshape(B, n_blocks * k)
+    idx = jnp.moveaxis(idx, 0, 1).reshape(B, n_blocks * k)
     return vals, idx, lse
 
 
