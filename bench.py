@@ -364,6 +364,8 @@ def bench_serve_e2e(batch: int = 64, n_images: int = 512):
     import os
     import shutil
 
+    import jax
+
     from show_tell_tpu.data.serve_cache import ServeImageCache
     from show_tell_tpu.models.captioner import init_captioner
     from show_tell_tpu.serve import Captioner, caption_paths

@@ -194,8 +194,12 @@ class Captioner:
             self._jitted[beam_size] = run
         return self._jitted[beam_size]
 
-    def caption_ids(self, images_u8: np.ndarray, beam_size: int = 0) -> np.ndarray:
-        """uint8 [B,224,224,3] -> token ids [B, max_caption_length]."""
+    def stage(self, images_u8: np.ndarray) -> jax.Array:
+        """Host uint8 batch -> device-resident (sharded, under a mesh)
+        array.  Callable from a background thread: the pipeline stages
+        batch k+1 while the chip captions batch k, so the H2D transfer
+        overlaps compute instead of serializing in front of it (the
+        training loop's device_prefetch pattern)."""
         if self.mesh is not None:
             from show_tell_tpu.parallel.mesh import shard_batch
 
@@ -206,13 +210,18 @@ class Captioner:
                     "that is a multiple of dp (pad with repeated images and slice "
                     "the outputs, as the CLI does)" % (len(images_u8), dp)
                 )
-            images = shard_batch(self.mesh, np.asarray(images_u8))
-        else:
-            images = jnp.asarray(images_u8)
+            return shard_batch(self.mesh, np.asarray(images_u8))
+        return jnp.asarray(images_u8)
+
+    def caption_ids(self, images_u8, beam_size: int = 0) -> np.ndarray:
+        """uint8 [B,224,224,3] (host numpy or pre-``stage``d device
+        array) -> token ids [B, max_caption_length]."""
+        images = images_u8 if isinstance(images_u8, jax.Array) else self.stage(images_u8)
         return np.asarray(self._decode_fn(beam_size)(images))
 
-    def caption(self, images_u8: np.ndarray, beam_size: int = 0) -> List[str]:
-        """uint8 [B,224,224,3] -> caption strings (<end>-truncated)."""
+    def caption(self, images_u8, beam_size: int = 0) -> List[str]:
+        """uint8 [B,224,224,3] (host or staged) -> caption strings
+        (<end>-truncated)."""
         ids = self.caption_ids(images_u8, beam_size)
         words = create_caption_word_format(ids, self.vocab, False)
         return [" ".join(w) for w in words]
@@ -276,11 +285,14 @@ def caption_paths(
 ):
     """Caption files in fixed-size batches, yielding (path, caption).
 
-    overlap=True (the CLI default) double-buffers: the host decodes
-    batch k+1 on a background thread while the chip captions batch k
-    (the training loop's prefetch pattern, data/device_prefetch.py;
-    libjpeg/PIL release the GIL).  overlap=False is the serial A-side
-    for bench.py --serve_e2e."""
+    overlap=True (the CLI default) double-buffers: the host decodes AND
+    device-stages batch k+1 on a background thread while the chip
+    captions batch k (the training loop's prefetch pattern,
+    data/device_prefetch.py; libjpeg/PIL release the GIL, and staging
+    in the loader overlaps the H2D transfer with compute — on hosts
+    with slow device links the transfer, not the decode, can be the
+    bottleneck once pixels are cached).  overlap=False is the serial
+    A-side for bench.py --serve_e2e."""
     B = batch_size
     chunks = [paths[lo : lo + B] for lo in range(0, len(paths), B)]
 
@@ -288,7 +300,7 @@ def caption_paths(
         imgs = _load_with_cache(captioner, chunk, cache, fast_jpeg)
         if len(chunk) < B:  # pad decoded pixels, not paths: static batch
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], B - len(chunk), axis=0)])
-        return imgs
+        return captioner.stage(imgs)
 
     if not overlap:
         for chunk in chunks:

@@ -58,6 +58,29 @@ def test_captioner_from_our_checkpoint(trained):
     assert ids.shape == (2, 25)
 
 
+def test_captioner_staged_input_matches_host(trained):
+    """caption_ids accepts a pre-staged device batch (the overlap
+    pipeline stages on the loader thread so H2D overlaps compute) and
+    produces identical ids to the host-numpy path — unsharded and
+    under a dp mesh (stage() shards)."""
+    data_root, out_dir = trained
+    kw = dict(variant="gru", resnet_version=18, embed_dim=16, hidden_dim=24,
+              num_layers=1, compute_dtype="float32")
+    images = np.random.RandomState(1).randint(0, 255, (8, 224, 224, 3), dtype=np.uint8)
+
+    cap = Captioner.from_checkpoint(
+        os.path.join(out_dir, "model_1.ckpt"), os.path.join(out_dir, "vocab.pkl"), **kw)
+    staged = cap.stage(images)
+    assert isinstance(staged, jax.Array)
+    np.testing.assert_array_equal(cap.caption_ids(staged), cap.caption_ids(images))
+
+    cap_dp = Captioner.from_checkpoint(
+        os.path.join(out_dir, "model_1.ckpt"), os.path.join(out_dir, "vocab.pkl"),
+        dp=8, **kw)
+    np.testing.assert_array_equal(
+        cap_dp.caption_ids(cap_dp.stage(images)), cap.caption_ids(images))
+
+
 def test_captioner_files(trained):
     data_root, out_dir = trained
     img_dir = os.path.join(data_root, "train2014")
