@@ -51,6 +51,7 @@ def _beam_engine(
     end_token: int,
     pad_token: int,
     sparse: bool = False,
+    early_exit: bool = False,
 ) -> jax.Array:
     """Generic batched beam over a first-step distribution + step fn.
     Returns best-hypothesis token ids [B, T].
@@ -60,7 +61,16 @@ def _beam_engine(
     [B*K, V] distribution (the fused projection+top-k Pallas kernel,
     ops/vocab_pallas.project_topk_pallas).  Mathematically identical:
     the global top-K over K rows is contained in the union of the rows'
-    top-Ks, so reducing [B, K*K] candidates == reducing [B, K*V]."""
+    top-Ks, so reducing [B, K*K] candidates == reducing [B, K*V].
+
+    early_exit=True: run the step body under ``lax.while_loop`` and stop
+    once every beam of every image has retired.  BIT-IDENTICAL ids: once
+    all beams are finished, each further scan step provably emits
+    (parent=identity, token=<pad>) and leaves scores unchanged — the
+    per-row candidate set collapses to the sorted scores themselves, and
+    ``top_k``'s stable tie rule returns them in place — so prefilling
+    the trajectory buffers with exactly that makes the skipped tail a
+    no-op for backtracking."""
     B, V = logp0.shape
     scores, toks0 = jax.lax.top_k(logp0, K)  # [B, K]
     state = tile_state(state1)
@@ -103,7 +113,26 @@ def _beam_engine(
         return (new_tok.reshape(B * K), state3, new_scores, new_finished), (parent, new_tok)
 
     init = (tokens0, state, scores, finished)
-    (_, _, final_scores, _), (parents, toks) = jax.lax.scan(body, init, None, length=T - 1)
+    if not early_exit:
+        (_, _, final_scores, _), (parents, toks) = jax.lax.scan(body, init, None, length=T - 1)
+    else:
+        parents_buf = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (T - 1, B, K))
+        toks_buf = jnp.full((T - 1, B, K), pad_token, jnp.int32)
+
+        def cond(c):
+            i, carry, _, _ = c
+            return (i < T - 1) & ~jnp.all(carry[3])
+
+        def step(c):
+            i, carry, parents, toks = c
+            carry2, (p, t) = body(carry, None)
+            parents = jax.lax.dynamic_update_index_in_dim(parents, p, i, 0)
+            toks = jax.lax.dynamic_update_index_in_dim(toks, t, i, 0)
+            return (i + 1, carry2, parents, toks)
+
+        _, (_, _, final_scores, _), parents, toks = jax.lax.while_loop(
+            cond, step, (jnp.int32(0), init, parents_buf, toks_buf)
+        )
 
     # Backtrack on device: follow parent pointers from the best final beam.
     best = jnp.argmax(final_scores, axis=1)  # [B]
@@ -162,9 +191,12 @@ def beam_search_decode(
     end_token: int = 2,
     pad_token: int = 0,
     use_pallas: "bool | None" = None,
+    early_exit: bool = False,
 ) -> jax.Array:
     """Beam over the GRU/LSTM captioner; step 0 consumes the image
     feature (rnn.py:41).  Returns [B, max_caption_length] ids.
+    early_exit stops the decode loop once every beam retired
+    (bit-identical ids, see _beam_engine).
 
     use_pallas: None = measured auto (ops.pallas_beam_default): route
     the per-step vocab projection through the fused projection+top-k
@@ -204,7 +236,7 @@ def beam_search_decode(
     tile, gather = _rnn_state_helpers(B, K)
     return _beam_engine(
         logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token,
-        sparse=sparse_proj is not None,
+        sparse=sparse_proj is not None, early_exit=early_exit,
     )
 
 
@@ -217,6 +249,7 @@ def attn_beam_search_decode(
     end_token: int = 2,
     pad_token: int = 0,
     use_pallas: "bool | None" = None,
+    early_exit: bool = False,
 ) -> jax.Array:
     """Beam over the soft-attention decoders (framework extension; the
     reference decodes attention models greedily only, rnn_attn.py:77-94).
@@ -290,5 +323,5 @@ def attn_beam_search_decode(
     tile, gather = _rnn_state_helpers(B, K)
     return _beam_engine(
         logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token,
-        sparse=sparse_proj is not None,
+        sparse=sparse_proj is not None, early_exit=early_exit,
     )

@@ -45,10 +45,12 @@ class Captioner:
         mp: int = 1,
         early_exit: bool = False,
     ):
-        """early_exit stops greedy decode once every sequence in the
-        batch emitted <end> (identical captions — formatting truncates
-        there anyway; trained models skip ~half the 25 steps).  Off by
-        default: the reference always runs the full 25 (rnn.py:39).
+        """early_exit stops the decode loop (greedy AND beam) once every
+        sequence/beam in the batch emitted <end> (identical captions —
+        greedy formatting truncates there anyway, and the beam engine's
+        skipped tail is provably a no-op; trained models skip ~half the
+        25 steps).  Off by default: the reference always runs the full
+        25 (rnn.py:39).
 
         dp > 1 shards serving batches over the mesh's dp axis (the
         v5e-8 scale-out path; params replicated along dp).  mp > 1
@@ -171,9 +173,13 @@ class Captioner:
                     )
                     if cfg.is_attention:
                         return attn_beam_search_decode(
-                            self.params["decoder"], cfg.decoder_config(), feats, beam_size, cfg.start_token
+                            self.params["decoder"], cfg.decoder_config(), feats, beam_size,
+                            cfg.start_token, early_exit=self.early_exit,
                         )
-                    return beam_search_decode(self.params["decoder"], cfg.decoder_config(), feats, beam_size)
+                    return beam_search_decode(
+                        self.params["decoder"], cfg.decoder_config(), feats, beam_size,
+                        early_exit=self.early_exit,
+                    )
                 if self.early_exit:
                     feats, _ = encoder_forward(
                         self.params["encoder"], self.bn_state, cfg.encoder_config(), images, training=False

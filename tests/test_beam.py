@@ -374,6 +374,37 @@ def test_beam_sparse_projection_matches_dense():
         np.testing.assert_array_equal(sparse, dense, err_msg="%s bias=%s" % (cell, bias))
 
 
+def test_beam_early_exit_identical_ids():
+    """early_exit beam (while_loop, stops when every beam retired) must
+    return bit-identical ids to the full T-step scan — including models
+    biased to retire early (the case where steps are actually skipped)
+    and the attention engine's tuple state."""
+    from show_tell_tpu.decode.beam import attn_beam_search_decode, beam_search_decode
+    from show_tell_tpu.models.attention import AttnDecoderConfig, init_attn_decoder_params
+
+    for cell, bias in (("gru", 0.0), ("gru", 3.0), ("lstm", 5.0)):
+        cfg = DecoderConfig(cell, E, H, V, L, max_caption_length=9)
+        params = init_decoder_params(jax.random.PRNGKey(11), cfg)
+        params = dict(params)
+        params["linear"] = dict(params["linear"])
+        params["linear"]["b"] = params["linear"]["b"].at[END].add(bias)
+        feat = jnp.asarray(np.random.RandomState(12).randn(4, E).astype(np.float32))
+        full = np.asarray(beam_search_decode(params, cfg, feat, 3))
+        fast = np.asarray(beam_search_decode(params, cfg, feat, 3, early_exit=True))
+        np.testing.assert_array_equal(fast, full, err_msg="%s bias=%s" % (cell, bias))
+
+    C, A, P = 10, 12, 6
+    acfg = AttnDecoderConfig("gru", E, C, A, H, V, L, max_caption_length=8)
+    ap = init_attn_decoder_params(jax.random.PRNGKey(13), acfg)
+    ap = dict(ap)
+    ap["linear"] = dict(ap["linear"])
+    ap["linear"]["b"] = ap["linear"]["b"].at[END].add(3.0)
+    feats = jnp.asarray(np.random.RandomState(14).randn(3, C, P).astype(np.float32))
+    full = np.asarray(attn_beam_search_decode(ap, acfg, feats, 3))
+    fast = np.asarray(attn_beam_search_decode(ap, acfg, feats, 3, early_exit=True))
+    np.testing.assert_array_equal(fast, full)
+
+
 def test_attn_lstm_beam1_equals_greedy_prefix():
     """Beam engine handles the attention-LSTM (h, c) state tuple: width-1
     beam equals the greedy decode up to <end> retirement."""

@@ -292,6 +292,10 @@ def test_captioner_early_exit_same_captions(trained):
     fast = Captioner.from_checkpoint(ckpt, vocab, early_exit=True, **kw)
     images = np.random.RandomState(3).randint(0, 255, (4, 224, 224, 3), dtype=np.uint8)
     assert fast.caption(images) == base.caption(images)
+    # beam early_exit: bit-identical ids (the skipped tail is a no-op)
+    np.testing.assert_array_equal(
+        fast.caption_ids(images, beam_size=2), base.caption_ids(images, beam_size=2)
+    )
 
 
 def test_serve_cli(trained, capsys):
