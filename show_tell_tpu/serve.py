@@ -356,7 +356,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--compute_dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--dp", type=int, default=1, help="shard serving batches over this many devices")
     p.add_argument("--mp", type=int, default=1, help="tensor-shard vocab-sized decoder params over this many devices")
-    p.add_argument("--early_exit", type=int, default=0, help="stop greedy decode when every sequence emitted <end>")
+    p.add_argument("--early_exit", type=int, default=0, help="stop decode (greedy or beam) when every sequence/beam emitted <end>; identical output")
     p.add_argument("--fast_jpeg", type=int, default=0, help="DCT-domain scaled JPEG decode (~2x host decode speed)")
     p.add_argument("--image_cache", default="", help="decoded-image cache dir (.npy per image keyed by path+size+mtime: stale entries re-decode automatically; shareable across serve runs)")
     p.add_argument("--json", action="store_true", help='emit {"image": ..., "caption": ...} JSON lines')

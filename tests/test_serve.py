@@ -298,6 +298,42 @@ def test_captioner_early_exit_same_captions(trained):
     )
 
 
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2)])
+def test_captioner_early_exit_sharded_matches_single_device(trained, dp, mp):
+    """early_exit under dp / dp x mp meshes: the while_loop predicate
+    reduces over the sharded batch (GSPMD inserts the all-reduce) and
+    over mp-sharded logits; output must match the single-device
+    full-length scan (caption strings for greedy, whose skipped tail is
+    pad-filled; bit-identical ids for beam, whose skipped tail is a
+    provable no-op).  Params are END-biased so the loop genuinely
+    retires early — the skipped-tail path is what's pinned."""
+    data_root, out_dir = trained
+    assert len(jax.devices()) >= 8
+    kw = dict(
+        variant="gru", resnet_version=18, embed_dim=16, hidden_dim=24,
+        num_layers=1, compute_dtype="float32",
+    )
+    ckpt = os.path.join(out_dir, "model_1.ckpt")
+    vocab = os.path.join(out_dir, "vocab.pkl")
+    single = Captioner.from_checkpoint(ckpt, vocab, **kw)
+    end_idx = single.vocab.word_to_index[single.vocab.end_token()]
+    dec = dict(single.params["decoder"])
+    dec["linear"] = dict(dec["linear"])
+    dec["linear"]["b"] = dec["linear"]["b"].at[end_idx].add(4.0)
+    params = {"encoder": single.params["encoder"], "decoder": dec}
+
+    ref = Captioner(params, single.bn_state, single.cfg, single.vocab, compute_dtype="float32")
+    fast = Captioner(
+        params, single.bn_state, single.cfg, single.vocab,
+        compute_dtype="float32", dp=dp, mp=mp, early_exit=True,
+    )
+    images = np.random.RandomState(5).randint(0, 255, (8, 224, 224, 3), dtype=np.uint8)
+    assert fast.caption(images) == ref.caption(images)
+    np.testing.assert_array_equal(
+        fast.caption_ids(images, beam_size=3), ref.caption_ids(images, beam_size=3)
+    )
+
+
 def test_serve_cli(trained, capsys):
     """python -m show_tell_tpu.serve: directory input, batch padding for
     the last partial batch, tab and JSON output modes, --fast_jpeg."""

@@ -253,6 +253,33 @@ def bench_decode():
         record("attn_beam3", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
+    print("early_exit while_loop vs fixed 25-step scan (GRU, B=256):")
+    # Two bounding cases: a random model never emits <end> (the while_loop
+    # runs all 25 steps — pure loop overhead vs the scan) and an
+    # END-biased model retires the whole batch after ~1 step (the floor).
+    # Real savings sit between: decode time follows the longest caption,
+    # ~12 tokens on trained COCO models.
+    for B in (256,):
+        cfg = DecoderConfig("gru", E, H, V, L)
+        base = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
+        biased = dict(base)
+        biased["linear"] = dict(biased["linear"])
+        biased["linear"]["b"] = biased["linear"]["b"].at[2].add(50.0)
+        feat_set = variants(jnp.zeros((B, E), bf))
+        for tag, p in (("noexit", base), ("floor", biased)):
+            fix_fn = jax.jit(lambda f, p=p: greedy_decode(p, cfg, f))
+            ee_fn = jax.jit(lambda f, p=p: greedy_decode(p, cfg, f, end_token=2))
+            t_f, t_e = timeit(fix_fn, feat_set), timeit(ee_fn, feat_set)
+            record("gru_greedy_ee_" + tag, B, t_f, t_e)
+            print(f"  greedy {tag:6s}: scan {t_f*1e3:6.2f} ms   early_exit {t_e*1e3:6.2f} ms   ({t_f/t_e:.2f}x)")
+            bfix_fn = jax.jit(lambda f, p=p: beam_search_decode(p, cfg, f, 3, use_pallas=False))
+            bee_fn = jax.jit(
+                lambda f, p=p: beam_search_decode(p, cfg, f, 3, use_pallas=False, early_exit=True)
+            )
+            t_f, t_e = timeit(bfix_fn, feat_set), timeit(bee_fn, feat_set)
+            record("gru_beam3_ee_" + tag, B, t_f, t_e)
+            print(f"  beam-3 {tag:6s}: scan {t_f*1e3:6.2f} ms   early_exit {t_e*1e3:6.2f} ms   ({t_f/t_e:.2f}x)")
+
     out_path = os.path.join(os.path.dirname(__file__), "..", "smoke_bench.json")
     with open(out_path, "w") as f:
         for r in rows:
