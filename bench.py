@@ -297,13 +297,19 @@ def _make_jpeg_dataset(n_images: int, prefix: str = "bench_input_"):
     """Synthetic COCO-shaped dataset of 640x480 q90 JPEGs (one caption
     per image).  Smooth gradient + noise approximates photo JPEG entropy
     (pure noise decodes ~2x slower than photos; pure gradients ~2x
-    faster).  Returns (ann_path, img_dir, images_meta)."""
+    faster).  Returns (ann_path, img_dir, images_meta).  The tree is
+    atexit-registered for removal so an aborted bench (compile error,
+    ^C) doesn't strand tens of MB in /tmp; the benches still rmtree
+    eagerly on their normal path."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from PIL import Image
 
     root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     img_dir = os.path.join(root, "imgs")
     os.makedirs(img_dir)
     rng = np.random.RandomState(0)

@@ -51,6 +51,9 @@ class ServeImageCache:
         except (OSError, ValueError):
             self.misses += 1
             return None
+        if arr.shape != (self.image_size, self.image_size, 3) or arr.dtype != np.uint8:
+            self.misses += 1  # corrupt/foreign entry: re-decode instead of serving it
+            return None
         self.hits += 1
         return arr
 
@@ -64,7 +67,10 @@ class ServeImageCache:
                 np.save(f, np.ascontiguousarray(image))
             os.replace(tmp, os.path.join(self.dir, key + ".npy"))
         except OSError:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            pass
+        finally:
+            if os.path.exists(tmp):  # failed before the rename, any cause
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass

@@ -34,10 +34,15 @@ def vocab_projection_is_sharded(linear) -> bool:
     kernel must not run then — its partitioning rule replicates the
     weight, which would all-gather the [H, V] matrix every decode step;
     the XLA projection keeps GSPMD's native vocab-axis collectives.
-    Callable on concrete arrays only; under tracing (params passed as
-    jit arguments) this conservatively reports False — every sharded
-    serving path closes over concrete, already-placed params."""
+    When the sharding cannot be determined — params traced through a
+    user's own jit boundary — report True (use the XLA path): correct
+    either way, and it avoids the silent every-step weight all-gather
+    the kernel's replicating rule would cost if the weight IS sharded.
+    Plain host ndarrays (no .sharding) are unsharded by construction."""
+    w = linear["w"]
+    if isinstance(w, jax.core.Tracer):
+        return True
     try:
-        return not linear["w"].sharding.is_fully_replicated
-    except Exception:
-        return False
+        return not w.sharding.is_fully_replicated
+    except AttributeError:
+        return False  # host ndarray: unsharded

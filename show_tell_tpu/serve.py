@@ -301,6 +301,8 @@ def caption_paths(
     A-side for bench.py --serve_e2e."""
     B = batch_size
     chunks = [paths[lo : lo + B] for lo in range(0, len(paths), B)]
+    if not chunks:
+        return
 
     def load(chunk):
         imgs = _load_with_cache(captioner, chunk, cache, fast_jpeg)

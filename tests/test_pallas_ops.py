@@ -286,3 +286,25 @@ def test_attn_greedy_decode_pallas_matches_xla(cell):
     ref = np.asarray(attn_greedy_decode(params, acfg, feats, 1))
     got = np.asarray(attn_greedy_decode_pallas(params, acfg, feats, 1, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_vocab_projection_sharded_guard_safe_under_tracing():
+    """The kernel-policy guard: concrete replicated / host arrays report
+    unsharded (kernel allowed); a TRACED weight — sharding undeterminable,
+    e.g. params passed through a user's own jit boundary — must report
+    sharded (True) so the decode falls back to the XLA projection instead
+    of the weight-replicating kernel rule (review r3)."""
+    from show_tell_tpu.ops import vocab_projection_is_sharded
+
+    w = jnp.zeros((4, 8), jnp.float32)
+    assert vocab_projection_is_sharded({"w": w}) is False
+    assert vocab_projection_is_sharded({"w": np.zeros((4, 8), np.float32)}) is False
+
+    seen = []
+
+    def f(w):
+        seen.append(vocab_projection_is_sharded({"w": w}))
+        return w.sum()
+
+    jax.jit(f)(w)
+    assert seen == [True]

@@ -334,6 +334,61 @@ def test_captioner_early_exit_sharded_matches_single_device(trained, dp, mp):
     )
 
 
+def test_caption_paths_empty_list_yields_nothing():
+    """The public pipeline API on zero inputs: both overlap modes yield
+    an empty iteration instead of crashing (review r3)."""
+    from show_tell_tpu.serve import caption_paths
+
+    assert list(caption_paths(None, [], 4, overlap=True)) == []
+    assert list(caption_paths(None, [], 4, overlap=False)) == []
+
+
+def test_serve_image_cache_roundtrip_staleness_corruption(tmp_path):
+    """ServeImageCache: put/get roundtrip; mtime change invalidates the
+    key (replaced file re-decodes); corrupt or wrong-shape .npy entries
+    are rejected as misses instead of being served as pixels; no .tmp
+    files survive a successful put."""
+    import time as _time
+
+    from show_tell_tpu.data.serve_cache import ServeImageCache
+
+    img_path = str(tmp_path / "a.jpg")
+    with open(img_path, "wb") as f:
+        f.write(b"notreallyjpeg")
+    cache_dir = str(tmp_path / "cache")
+    cache = ServeImageCache(cache_dir, 8)
+    assert cache.get(img_path) is None and cache.misses == 1
+
+    pix = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    cache.put(img_path, pix)
+    got = cache.get(img_path)
+    np.testing.assert_array_equal(got, pix)
+    assert cache.hits == 1
+    assert not [f for f in os.listdir(cache_dir) if f.endswith(".tmp")]
+
+    # replaced file (different mtime) -> different key -> miss
+    _time.sleep(0.01)
+    with open(img_path, "wb") as f:
+        f.write(b"replaced-bytes")
+    assert cache.get(img_path) is None
+
+    # corrupt entry: truncated npy is a miss, wrong-shape npy is a miss
+    key_file = [f for f in os.listdir(cache_dir) if f.endswith(".npy")][0]
+    with open(os.path.join(cache_dir, key_file), "wb") as f:
+        f.write(b"\x93NUMPY-garbage")
+    fresh = ServeImageCache(cache_dir, 8)
+    with open(img_path, "wb") as f:  # restore original bytes/key? new key is fine:
+        f.write(b"notreallyjpeg")
+    wrong = np.zeros((4, 4, 3), np.uint8)
+    fresh.put(img_path, wrong)  # wrong shape for image_size=8
+    assert fresh.get(img_path) is None  # rejected by the shape check
+    assert fresh.misses >= 1
+
+    # missing source file -> no key, no crash
+    assert cache.get(str(tmp_path / "nope.jpg")) is None
+    cache.put(str(tmp_path / "nope.jpg"), pix)  # silently skipped
+
+
 def test_serve_cli(trained, capsys):
     """python -m show_tell_tpu.serve: directory input, batch padding for
     the last partial batch, tab and JSON output modes, --fast_jpeg."""

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 
 def timeit(fn, args_set, warmup=12, reps=5, iters=5):
+    # Same discipline as tools/tpu_smoke.py's timeit (12 warmups, median
+    # of reps x iters over DISTINCT inputs) — change both together.
     for i in range(warmup):
         jax.block_until_ready(fn(args_set[i % len(args_set)]))
     meds = []
