@@ -64,6 +64,8 @@ def make_test_step(
     use_pallas: Optional[bool] = None,
     compute_dtype=None,
     loss_only: bool = False,
+    early_exit: bool = False,
+    end_token: int = 2,
 ):
     """Jitted (loss, decoded ids) for one batch; beam_size>0 uses the
     standard batched beam (non-attention decoders only, like the ref);
@@ -72,10 +74,19 @@ def make_test_step(
     decode and returns the encoder features in the ids slot instead (the
     faithful-beam path decodes host-side from those feats — XLA CSEs
     this encoder_forward with the one inside captioner_loss, so the
-    batch pays for ONE ResNet forward)."""
+    batch pays for ONE ResNet forward).
+
+    early_exit (`--early_exit 1`, off by default): stop the decode loop
+    — greedy and beam — as soon as every sequence/beam has emitted
+    <end>, via the serving `lax.while_loop` paths.  Caption OUTPUT (and
+    therefore every metric) is identical: positions after <end> become
+    <pad> instead of the reference's dont-care argmax continuations, and
+    `create_caption_word_format` truncates at <end> either way.  A
+    trained model's mean caption is ~12 tokens, so full-val eval decode
+    skips roughly half its 25 fixed steps."""
 
     dtype = compute_dtype or jnp.float32
-    cache_key = (cfg, beam_size, augment, use_pallas, dtype, loss_only)
+    cache_key = (cfg, beam_size, augment, use_pallas, dtype, loss_only, early_exit, end_token)
     cached = _TEST_STEP_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -92,10 +103,27 @@ def make_test_step(
             if cfg.is_attention:  # framework extension: ref is greedy-only here
                 ids = attn_beam_search_decode(
                     params["decoder"], cfg.decoder_config(), feats, beam_size, cfg.start_token,
-                    use_pallas=use_pallas,
+                    use_pallas=use_pallas, early_exit=early_exit,
                 )
             else:
-                ids = beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam_size)
+                ids = beam_search_decode(
+                    params["decoder"], cfg.decoder_config(), feats, beam_size,
+                    use_pallas=use_pallas, early_exit=early_exit,
+                )
+        elif early_exit:
+            # Serving while_loop greedy paths (models/decoder.py,
+            # models/attention.py): same captions, <pad> after <end>.
+            feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
+            if cfg.is_attention:
+                from show_tell_tpu.models.attention import attn_greedy_decode
+
+                ids = attn_greedy_decode(
+                    params["decoder"], cfg.decoder_config(), feats, cfg.start_token, end_token=end_token
+                )
+            else:
+                from show_tell_tpu.models.decoder import greedy_decode
+
+                ids = greedy_decode(params["decoder"], cfg.decoder_config(), feats, end_token=end_token)
         else:
             ids = captioner_greedy_decode(params, bn_state, cfg, images, use_pallas=use_pallas)
         return loss, ids
@@ -148,6 +176,10 @@ def test_model(
         use_pallas=None if up_flag == -1 else bool(up_flag),
         compute_dtype=eval_dtype,
         loss_only=use_faithful,
+        # --faithful_beam decodes host-side step by step; early_exit only
+        # shapes the jitted decode loops.
+        early_exit=bool(params.get("early_exit", 0)) and not use_faithful,
+        end_token=vocab.word_to_index[vocab.end_token()],
     )
     key = jax.random.PRNGKey(seed)
 

@@ -135,6 +135,23 @@ def test_other_variants_train_and_test(tmp_path, variant):
     assert os.path.isfile(os.path.join(out_dir, "model_1.ckpt"))
 
 
+def test_early_exit_eval_metrics_identical(trained):
+    # --early_exit 1 switches eval decode to the serving while_loop paths
+    # (greedy and beam); captions and therefore every metric must be
+    # identical to the fixed-25-step parity decode.  --eval_augment 0
+    # pins the flip RNG so the two runs see the same pixels.
+    data_root, out_dir, _ = trained
+    for extra in ([], ["--beam_size", "2"]):
+        base = _argv(
+            data_root, out_dir,
+            ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1",
+             "--eval_augment", "0"] + extra,
+        )
+        ref = run("gru", base)["scores"]
+        fast = run("gru", base + ["--early_exit", "1"])["scores"]
+        assert ref == fast, extra
+
+
 def test_eval_augment_disabled_is_deterministic(trained):
     data_root, out_dir, _ = trained
     args = _argv(
