@@ -1,6 +1,7 @@
 """Aux subsystems: torch checkpoint import, generic beam, profiling,
 metrics logging, loss-analysis tool."""
 
+import json
 import os
 import pickle
 import subprocess
@@ -125,6 +126,25 @@ def test_step_timer_and_metrics_logger(tmp_path):
     logger.log("eval", step=1, bleu4=0.3)
     records = logger.read()
     assert len(records) == 2 and records[0]["loss"] == 3.2
+
+
+def test_metrics_bench_tool():
+    # tools/metrics_bench.py times our evaluate() against the reference's
+    # live scorer module on identical corpora; the JSON line must report
+    # exact score agreement (the fuzz test is the real numerics gate —
+    # this pins the tool itself against bit-rot).
+    if not os.path.exists("/root/reference/evaluation/evaluation_metrics.py"):
+        pytest.skip("reference checkout not available")
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools", "metrics_bench.py"), "3", "4"],
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["metric"] == "evaluate_batches_per_sec"
+    assert line["max_score_delta"] == 0.0
+    assert line["value"] > 0 and line["reference_batches_per_sec"] > 0
 
 
 def test_loss_analysis_tool(tmp_path):
