@@ -1,5 +1,6 @@
 """Vocabulary + tokenizer tests (reference vocab_builder.py semantics)."""
 
+import os
 import pickle
 
 import pytest
@@ -209,3 +210,84 @@ def test_flickr_vocab_consistent_with_dataset_index(tmp_path):
     unk = vocab.word_to_index["<unk>"]
     for w in dataset_words:
         assert vocab(w) != unk, w  # threshold 1: every dataset word known
+
+
+# ------- live differential vs the reference's own vocab_builder ------- #
+
+REF_VOCAB_BUILDER = "/root/reference/vocab_builder.py"
+
+
+def _load_reference_vocab_builder(monkeypatch):
+    """Import the ACTUAL reference vocab_builder.py.  Its hard deps that
+    this sandbox lacks are faked at the boundary: pycocotools' COCO is
+    replaced by a minimal anns-index (same insertion order — pycocotools
+    createIndex iterates dataset['annotations'] in list order, exactly
+    what the fake does), and nltk.tokenize.word_tokenize (needs absent
+    punkt data) is patched to OUR tokenizer so both builders consume an
+    identical token stream — the differential then pins the builder
+    semantics themselves: specials ids 0-3, Counter first-seen insertion
+    order, >= threshold filter, pickle format.  Loaded under the module
+    name "vocab_builder" so its pickles carry the same class path a real
+    reference run writes."""
+    import importlib.util
+    import sys as _sys
+    import types
+
+    import nltk
+
+    from show_tell_tpu.vocab.tokenize import word_tokenize as ours
+
+    class _FakeCOCO:
+        def __init__(self, ann_path):
+            import json as _json
+
+            with open(ann_path) as f:
+                data = _json.load(f)
+            self.anns = {a["id"]: a for a in data["annotations"]}
+
+    fake_pkg = types.ModuleType("pycocotools")
+    fake_coco = types.ModuleType("pycocotools.coco")
+    fake_coco.COCO = _FakeCOCO
+    fake_pkg.coco = fake_coco
+    monkeypatch.setitem(_sys.modules, "pycocotools", fake_pkg)
+    monkeypatch.setitem(_sys.modules, "pycocotools.coco", fake_coco)
+    monkeypatch.setattr(nltk.tokenize, "word_tokenize", ours)
+
+    cwd = os.getcwd()
+    spec = importlib.util.spec_from_file_location("vocab_builder", REF_VOCAB_BUILDER)
+    mod = importlib.util.module_from_spec(spec)
+    monkeypatch.setitem(_sys.modules, "vocab_builder", mod)
+    try:
+        spec.loader.exec_module(mod)  # module-level os.chdir(/root/reference)
+    finally:
+        os.chdir(cwd)
+    return mod
+
+
+@pytest.mark.skipif(not os.path.exists(REF_VOCAB_BUILDER), reason="reference checkout not available")
+@pytest.mark.parametrize("threshold", [1, 2])
+def test_vocab_differential_vs_live_reference(tmp_path, monkeypatch, threshold):
+    """Our get_vocabulary must produce bit-identical word<->id maps to
+    the reference's get_vocabulary run live on the same annotations and
+    token stream (vocab_builder.py:46-102), at both the all-words and a
+    filtering threshold."""
+    ref_mod = _load_reference_vocab_builder(monkeypatch)
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"), vocab_threshold=threshold)
+
+    ref_params = dict(params, vocab_path=str(tmp_path / "ref_vocab.pkl"))
+    ref_vocab = ref_mod.get_vocabulary("MSCOCO", ref_params)
+
+    ours_params = dict(params, vocab_path=str(tmp_path / "our_vocab.pkl"))
+    our_vocab = get_vocabulary("MSCOCO", ours_params)
+
+    assert our_vocab.word_to_index == ref_vocab.word_to_index
+    assert our_vocab.index_to_word == ref_vocab.index_to_word
+    assert our_vocab.index == ref_vocab.index
+    assert len(our_vocab) == len(ref_vocab)
+
+    # A pickle the reference code itself wrote must load through our
+    # compat unpickler (class path "vocab_builder.DatasetVocabulary").
+    loaded = load_vocab(ref_params["vocab_path"])
+    assert loaded.word_to_index == our_vocab.word_to_index
+    assert type(loaded).__module__.startswith("show_tell_tpu")
