@@ -125,3 +125,42 @@ def build_mini_flickr(root, image_size=64, seed=0):
     with open(tsv, "w") as f:
         f.write("\n".join(rows) + "\n")
     return tsv, img_dir
+
+
+def load_reference_rnn_module(relpath="rnn.py"):
+    """Import an ACTUAL reference decoder module (/root/reference) live,
+    for differential tests against its decode paths.  Module-level deps
+    this sandbox lacks are faked just for the import: `cnn` and
+    `torchvision` are consumed only by rnn.py's __main__ CIFAR demo
+    (rnn.py:113-149), never by the classes under test; LSTM/rnn_lstm.py
+    and Attention/rnn_attn*.py import cleanly.  Returns the module, or
+    None when the reference checkout or torch is absent."""
+    import importlib.util
+    import sys
+    import types
+
+    path = os.path.join("/root/reference", relpath)
+    if not os.path.exists(path):
+        return None
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return None
+
+    fakes = {}
+    for name in ("cnn", "torchvision", "torchvision.transforms"):
+        if name not in sys.modules:
+            fakes[name] = types.ModuleType(name)
+    if "cnn" in fakes:
+        fakes["cnn"].ResNet = object
+    if "torchvision" in fakes and "torchvision.transforms" in fakes:
+        fakes["torchvision"].transforms = fakes["torchvision.transforms"]
+    sys.modules.update(fakes)
+    try:
+        spec = importlib.util.spec_from_file_location("ref_" + relpath.replace("/", "_").replace(".py", ""), path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for name in fakes:
+            sys.modules.pop(name, None)

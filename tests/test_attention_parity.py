@@ -194,3 +194,34 @@ def test_attn_next_token_mode():
     targets = jnp.concatenate([captions[:, 1:], jnp.zeros_like(captions[:, :1])], axis=1)
     want = float(masked_cross_entropy(preds, targets, lengths_nt))
     assert abs(float(loss_nt) - want) < 1e-6
+
+
+@pytest.mark.parametrize("relpath,cell", [("Attention/rnn_attn.py", "gru"), ("Attention/rnn_attn_LSTM.py", "lstm")])
+def test_attn_greedy_matches_live_reference_module(monkeypatch, relpath, cell):
+    """Greedy decode differentially against the reference's ACTUAL
+    attention modules imported live (sentence_index -> rnn_iterator test
+    branch, rnn_attn.py:77-94,120-145): identical weights via
+    attn_decoder_params_from_torch, identical ids.  The modules'
+    unconditional .cuda() placements are identity-patched (CPU torch
+    oracle), everything else runs the reference's own code."""
+    from fixtures import load_reference_rnn_module
+
+    ref = load_reference_rnn_module(relpath)
+    if ref is None:
+        pytest.skip("reference %s not importable here" % relpath)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    torch.manual_seed(4)
+    m = ref.RNN_Attn(E, C, A, H, V, L).eval()
+    params = attn_decoder_params_from_torch(m.state_dict(), L)
+    cfg = AttnDecoderConfig(cell, E, C, A, H, V, L, max_caption_length=25)
+    feats = np.random.RandomState(5).randn(B, C, P).astype(np.float32)
+
+    class _Vocab:
+        def __call__(self, word):
+            return {"<start>": 1}[word]
+
+    with torch.no_grad():
+        want = m.sentence_index(torch.from_numpy(feats), _Vocab()).numpy()
+    got = np.asarray(attn_greedy_decode(params, cfg, jnp.asarray(feats), 1))
+    np.testing.assert_array_equal(got, want)

@@ -480,3 +480,40 @@ def test_attn_early_exit_greedy_matches_full_decode():
             assert finished > 0, (cell, full)
         else:
             np.testing.assert_array_equal(ee, full)
+
+
+# --------- live differential vs the reference's own rnn.py ----------- #
+
+
+def test_decode_paths_match_live_reference_rnn_module():
+    """Greedy sentence_index AND the quirky in-class beam, differentially
+    against the reference's ACTUAL rnn.py imported live (no torch
+    re-enactment in the middle): identical weights via
+    decoder_params_from_torch, identical features, identical ids out.
+    Greedy: rnn.py:44-58 at B=4.  Beam: rnn.py:60-108 at B=1, K=3
+    (shared-hidden-state, last-logit ranking — the quirks
+    faithful_beam_decode reproduces)."""
+    torch = pytest.importorskip("torch")
+    from fixtures import load_reference_rnn_module
+
+    from show_tell_tpu.models.convert import decoder_params_from_torch
+
+    ref = load_reference_rnn_module()
+    if ref is None:
+        pytest.skip("reference rnn.py not importable here")
+
+    torch.manual_seed(5)
+    m = ref.RNN(E, H, V, L).eval()
+    params = decoder_params_from_torch(m.state_dict(), L)
+    cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=25)
+
+    feat = np.random.RandomState(11).randn(4, E).astype(np.float32)
+    with torch.no_grad():
+        want_greedy = m.sentence_index(torch.from_numpy(feat), beam_size=0).numpy()
+    got_greedy = np.asarray(greedy_decode(params, cfg, jnp.asarray(feat)))
+    np.testing.assert_array_equal(got_greedy, want_greedy)
+
+    with torch.no_grad():
+        want_beam = m.sentence_index(torch.from_numpy(feat[:1]), beam_size=3).numpy()
+    got_beam = np.asarray(faithful_beam_decode(params, cfg, jnp.asarray(feat[:1]), 3))
+    np.testing.assert_array_equal(got_beam, want_beam)

@@ -143,3 +143,24 @@ def test_converter_roundtrip():
     sd = decoder_params_to_torch(params)
     back = decoder_params_from_torch(sd, L)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)), params, back)
+
+
+def test_lstm_greedy_matches_live_reference_module():
+    """Greedy decode differentially against the reference's ACTUAL
+    LSTM/rnn_lstm.py imported live (sentence_index, rnn_lstm.py:38-53):
+    identical weights via decoder_params_from_torch, identical ids."""
+    from fixtures import load_reference_rnn_module
+
+    ref = load_reference_rnn_module("LSTM/rnn_lstm.py")
+    if ref is None:
+        pytest.skip("reference LSTM/rnn_lstm.py not importable here")
+
+    torch.manual_seed(9)
+    m = ref.RNN(E, H, V, L).eval()
+    params = decoder_params_from_torch(m.state_dict(), L)
+    cfg = DecoderConfig("lstm", E, H, V, L, max_caption_length=25)
+    feat = np.random.RandomState(3).randn(B, E).astype(np.float32)
+    with torch.no_grad():
+        want = m.sentence_index(torch.from_numpy(feat)).numpy()
+    got = np.asarray(greedy_decode(params, cfg, jnp.asarray(feat)))
+    np.testing.assert_array_equal(got, want)
