@@ -225,3 +225,48 @@ def test_attn_greedy_matches_live_reference_module(monkeypatch, relpath, cell):
         want = m.sentence_index(torch.from_numpy(feats), _Vocab()).numpy()
     got = np.asarray(attn_greedy_decode(params, cfg, jnp.asarray(feats), 1))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("relpath,cell", [("Attention/rnn_attn.py", "gru"), ("Attention/rnn_attn_LSTM.py", "lstm")])
+def test_attn_forward_matches_live_reference_module(monkeypatch, relpath, cell):
+    """Teacher-forced training forward differentially against the
+    reference's ACTUAL attention modules imported live: the w_t -> w_t
+    alignment, the shrinking batch_size_t, the doubly-stochastic alphas
+    and the packed logits (rnn_attn.py:60-94,96-120) must all match —
+    torch's packing applied to our padded [B,T,V] predictions."""
+    from fixtures import load_reference_rnn_module
+
+    ref = load_reference_rnn_module(relpath)
+    if ref is None:
+        pytest.skip("reference %s not importable here" % relpath)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    torch.manual_seed(17)
+    m = ref.RNN_Attn(E, C, A, H, V, L).eval()
+    params = attn_decoder_params_from_torch(m.state_dict(), L)
+    cfg = AttnDecoderConfig(cell, E, C, A, H, V, L)
+
+    rng = np.random.RandomState(23)
+    feats = rng.randn(B, C, P).astype(np.float32)
+    lengths = np.sort(rng.randint(2, T + 1, B))[::-1].copy()
+    captions = np.zeros((B, T), np.int64)
+    for b in range(B):
+        captions[b, : lengths[b]] = rng.randint(0, V, lengths[b])
+
+    with torch.no_grad():
+        want_packed, want_alphas = m(
+            torch.from_numpy(feats), torch.from_numpy(captions), list(lengths)
+        )
+        want_packed, want_alphas = want_packed.numpy(), want_alphas.numpy()
+
+    ours_p, ours_a = attn_decoder_forward(
+        params, cfg, jnp.asarray(feats),
+        jnp.asarray(captions.astype(np.int32)), jnp.asarray(lengths.astype(np.int32)),
+    )
+    got_packed = (
+        torch.nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(np.asarray(ours_p)), list(lengths), batch_first=True
+        )[0].numpy()
+    )
+    np.testing.assert_allclose(got_packed, want_packed, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours_a), want_alphas, atol=2e-5, rtol=1e-5)

@@ -164,3 +164,46 @@ def test_lstm_greedy_matches_live_reference_module():
         want = m.sentence_index(torch.from_numpy(feat)).numpy()
     got = np.asarray(greedy_decode(params, cfg, jnp.asarray(feat)))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("relpath,cell", [("rnn.py", "gru"), ("LSTM/rnn_lstm.py", "lstm")])
+def test_forward_matches_live_reference_module(relpath, cell):
+    """Teacher-forced training forward differentially against the
+    reference's ACTUAL modules imported live: the packed logits the
+    reference computes (prepended image feature, pack_padded_sequence
+    dropping the final concat position — rnn.py:29-34) must equal
+    torch's packing of our padded [B,T,V] logits."""
+    from fixtures import load_reference_rnn_module
+
+    ref = load_reference_rnn_module(relpath)
+    if ref is None:
+        pytest.skip("reference %s not importable here" % relpath)
+
+    torch.manual_seed(13)
+    m = ref.RNN(E, H, V, L).eval()
+    params = decoder_params_from_torch(m.state_dict(), L)
+    cfg = DecoderConfig(cell, E, H, V, L)
+
+    rng = np.random.RandomState(21)
+    feat = rng.randn(B, E).astype(np.float32)
+    lengths = np.sort(rng.randint(2, T + 1, B))[::-1].copy()
+    captions = np.zeros((B, T), np.int64)
+    for b in range(B):
+        captions[b, : lengths[b]] = rng.randint(0, V, lengths[b])
+
+    with torch.no_grad():
+        want_packed = m(
+            torch.from_numpy(feat), torch.from_numpy(captions), list(lengths)
+        ).numpy()
+    ours = np.asarray(
+        decoder_forward(
+            params, cfg, jnp.asarray(feat),
+            jnp.asarray(captions.astype(np.int32)), jnp.asarray(lengths.astype(np.int32)),
+        )
+    )
+    got_packed = (
+        torch.nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(ours), list(lengths), batch_first=True
+        )[0].numpy()
+    )
+    np.testing.assert_allclose(got_packed, want_packed, atol=2e-5, rtol=1e-5)
