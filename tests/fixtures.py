@@ -164,3 +164,49 @@ def load_reference_rnn_module(relpath="rnn.py"):
     finally:
         for name in fakes:
             sys.modules.pop(name, None)
+
+
+def load_reference_utils_module():
+    """Import the ACTUAL reference utils.py live (create_batch,
+    create_caption_word_format, ... — utils.py:61-123).  Heavy deps its
+    import pulls that the tested functions never touch are faked
+    (torchvision incl. .models/.transforms, pycocotools); its vendored
+    scorer package imports fine with /root/reference on sys.path.
+    Returns the module, or None when unavailable."""
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/utils.py"
+    if not os.path.exists(path):
+        return None
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return None
+
+    fakes = {}
+    for name in (
+        "torchvision", "torchvision.transforms", "torchvision.models",
+        "pycocotools", "pycocotools.coco",
+    ):
+        if name not in sys.modules:
+            fakes[name] = types.ModuleType(name)
+    if "torchvision" in fakes:
+        fakes["torchvision"].transforms = fakes.get("torchvision.transforms")
+        fakes["torchvision"].models = fakes.get("torchvision.models")
+    if "pycocotools.coco" in fakes:
+        fakes["pycocotools.coco"].COCO = object
+        if "pycocotools" in fakes:
+            fakes["pycocotools"].coco = fakes["pycocotools.coco"]
+    sys.modules.update(fakes)
+    sys.path.insert(0, "/root/reference")
+    try:
+        spec = importlib.util.spec_from_file_location("ref_utils_module", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        sys.path.remove("/root/reference")
+        for name in fakes:
+            sys.modules.pop(name, None)

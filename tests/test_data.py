@@ -315,3 +315,54 @@ def test_image_cache_reinit_never_truncates_filled_rows(tmp_path):
         f.truncate(0)
     c3 = ImageCache(str(tmp_path / "c"), names, 8)  # extends, no crash
     assert c3.get("b.jpg") is None
+
+
+def test_collate_and_word_format_match_live_reference():
+    """create_batch (sort order incl. tie stability, zero padding,
+    lengths) and create_caption_word_format (<end> truncation, <start>
+    skipping, flag_blue nesting) differentially against the reference's
+    ACTUAL utils.py imported live (utils.py:61-77,105-123)."""
+    torch = pytest.importorskip("torch")
+    from fixtures import load_reference_utils_module
+
+    from show_tell_tpu.evaluation.tester import (
+        create_caption_word_format as ours_words,
+    )
+
+    ref = load_reference_utils_module()
+    if ref is None:
+        pytest.skip("reference utils.py not importable here")
+
+    rng = np.random.RandomState(31)
+    lens = [5, 3, 7, 3, 4, 3]  # repeated 3s pin sort-tie stability
+    samples_ref, samples_ours = [], []
+    for i, n in enumerate(lens):
+        ids = rng.randint(0, 9, n).tolist()
+        img = rng.randint(0, 255, (4, 4, 3), dtype=np.uint8)
+        path = "img_%d.jpg" % i
+        samples_ref.append((path, torch.from_numpy(img.transpose(2, 0, 1)).float(), torch.Tensor(ids)))
+        samples_ours.append((path, img, list(ids)))
+
+    r_paths, _, r_caps, r_lens = ref.create_batch(samples_ref)
+    o_paths, _, o_caps, o_lens = create_batch(samples_ours, pad_length=max(lens))
+    assert list(o_paths) == list(r_paths)
+    assert list(o_lens) == list(r_lens)
+    np.testing.assert_array_equal(o_caps, r_caps.numpy())
+
+    # ids -> words on a tiny vocab, incl. <start>/<end>/flag_blue paths.
+    class _Vocab:
+        index_to_word = {0: "<pad>", 1: "<start>", 2: "<end>", 3: "<unk>",
+                         4: "a", 5: "dog", 6: "runs", 7: "fast", 8: "park"}
+        word_to_index = {w: i for i, w in index_to_word.items()}
+
+        def start_token(self):
+            return "<start>"
+
+        def end_token(self):
+            return "<end>"
+
+    v = _Vocab()
+    tokenized = np.array([[1, 4, 5, 6, 2, 0, 0], [4, 5, 2, 7, 8, 1, 0],
+                          [1, 2, 0, 0, 0, 0, 0], [4, 7, 8, 5, 6, 4, 7]])
+    for flag in (False, True):
+        assert ours_words(tokenized, v, flag) == ref.create_caption_word_format(tokenized, v, flag)
