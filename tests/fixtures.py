@@ -210,3 +210,43 @@ def load_reference_utils_module():
         sys.path.remove("/root/reference")
         for name in fakes:
             sys.modules.pop(name, None)
+
+
+def load_reference_cnn_module(resnet_factories, relpath="cnn.py"):
+    """Import the ACTUAL reference cnn.py (or Attention/cnn_attn.py) live.
+    Its `torchvision.models` import is faked with the given factories
+    ({version: callable(pretrained=...) -> torch module}) — standing in
+    for the pretrained download, exactly like --backbone_weights does in
+    the real CLI.  Returns the module, or None when unavailable."""
+    import importlib.util
+    import sys
+    import types
+
+    path = os.path.join("/root/reference", relpath)
+    if not os.path.exists(path):
+        return None
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return None
+
+    fakes = {}
+    for name in ("torchvision", "torchvision.models", "torchvision.transforms"):
+        if name not in sys.modules:
+            fakes[name] = types.ModuleType(name)
+    models_mod = fakes.get("torchvision.models") or sys.modules["torchvision.models"]
+    for version, factory in resnet_factories.items():
+        setattr(models_mod, "resnet%d" % version, factory)
+    if "torchvision" in fakes:
+        fakes["torchvision"].models = models_mod
+        fakes["torchvision"].transforms = fakes.get("torchvision.transforms")
+    sys.modules.update(fakes)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_" + relpath.replace("/", "_").replace(".py", ""), path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for name in fakes:
+            sys.modules.pop(name, None)

@@ -483,3 +483,104 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
     )
     assert resumed.returncode == 0, resumed.stdout + resumed.stderr
     assert "Models loaded." in resumed.stdout
+
+
+def test_reference_checkpoint_roundtrip_live_modules(tmp_path):
+    """End-to-end checkpoint-compat oracle with ZERO transcription: the
+    reference's own cnn.ResNet + rnn.RNN (imported live, backbone
+    download faked with our torch oracle) build a checkpoint via their
+    real state_dicts (Sequential 'model.N' keys and all, utils.py:131-138
+    format); import_torch_checkpoint loads it and our serving stack must
+    reproduce the reference modules' own greedy ids exactly."""
+    torch = pytest.importorskip("torch")
+    from fixtures import load_reference_cnn_module, load_reference_rnn_module
+
+    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_greedy_decode
+    from show_tell_tpu.train.checkpoint import import_torch_checkpoint
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_resnet_oracle import TorchResNet
+
+    ref_cnn = load_reference_cnn_module({18: lambda pretrained=True: TorchResNet(18)})
+    ref_rnn = load_reference_rnn_module()
+    if ref_cnn is None or ref_rnn is None:
+        pytest.skip("reference cnn.py/rnn.py not importable here")
+
+    torch.manual_seed(2)
+    enc = ref_cnn.ResNet(resnet_version=18, embed_dim=20).eval()
+    dec = ref_rnn.RNN(20, 24, 30, 2).eval()
+    ckpt_path = str(tmp_path / "model_1.ckpt")
+    torch.save(
+        {
+            "encoder_state_dict": enc.state_dict(),
+            "decoder_state_dict": dec.state_dict(),
+            "optimizer_state_dict": {},
+            "epoch": 1,
+            "step": 10,
+        },
+        ckpt_path,
+    )
+
+    cfg = CaptionerConfig("gru", 18, 20, 24, 30, 2)
+    params, state = import_torch_checkpoint(ckpt_path, cfg)
+    x = np.random.RandomState(5).randn(2, 64, 64, 3).astype(np.float32)
+    ids = captioner_greedy_decode(params, state, cfg, jnp.asarray(x))
+
+    with torch.no_grad():
+        feat = enc(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        want = dec.sentence_index(feat, beam_size=0).numpy()
+    np.testing.assert_array_equal(np.asarray(ids), want)
+
+
+def test_reference_attention_checkpoint_roundtrip_live_modules(tmp_path):
+    """Attention-variant twin of the live checkpoint roundtrip: the
+    reference's own Attention/cnn_attn.py ([:-2] slice, [B,C,P] reshape,
+    dead-but-saved head) + Attention/rnn_attn.py build the checkpoint;
+    import_torch_checkpoint + our serving stack must reproduce their
+    greedy ids exactly."""
+    torch = pytest.importorskip("torch")
+    from fixtures import load_reference_cnn_module, load_reference_rnn_module
+
+    from show_tell_tpu.models.captioner import CaptionerConfig, captioner_greedy_decode
+    from show_tell_tpu.train.checkpoint import import_torch_checkpoint
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_resnet_oracle import TorchResNet
+
+    ref_cnn = load_reference_cnn_module(
+        {18: lambda pretrained=True: TorchResNet(18)}, relpath="Attention/cnn_attn.py")
+    ref_rnn = load_reference_rnn_module("Attention/rnn_attn.py")
+    if ref_cnn is None or ref_rnn is None:
+        pytest.skip("reference attention modules not importable here")
+
+    torch.manual_seed(6)
+    E, C, A, H, V, L = 20, 512, 16, 24, 30, 2
+    enc = ref_cnn.ResNet(resnet_version=18, embed_dim=E).eval()
+    dec = ref_rnn.RNN_Attn(E, C, A, H, V, L).eval()
+    ckpt_path = str(tmp_path / "model_1.ckpt")
+    torch.save(
+        {
+            "encoder_state_dict": enc.state_dict(),
+            "decoder_state_dict": dec.state_dict(),
+            "optimizer_state_dict": {},
+            "epoch": 1,
+            "step": 10,
+        },
+        ckpt_path,
+    )
+
+    cfg = CaptionerConfig("attn", 18, E, H, V, L, nos_filters=C, attn_dim=A)
+    params, state = import_torch_checkpoint(ckpt_path, cfg)
+    x = np.random.RandomState(8).randn(2, 64, 64, 3).astype(np.float32)
+    ids = captioner_greedy_decode(params, state, cfg, jnp.asarray(x), use_pallas=False)
+
+    class _Vocab:
+        def __call__(self, word):
+            return {"<start>": 1}[word]
+
+    import unittest.mock as mock
+
+    with torch.no_grad(), mock.patch.object(torch.Tensor, "cuda", lambda self, *a, **k: self):
+        feats = enc(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        want = dec.sentence_index(feats, _Vocab()).numpy()
+    np.testing.assert_array_equal(np.asarray(ids), want)
