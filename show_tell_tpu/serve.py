@@ -358,6 +358,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--compute_dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--dp", type=int, default=1, help="shard serving batches over this many devices")
     p.add_argument("--mp", type=int, default=1, help="tensor-shard vocab-sized decoder params over this many devices")
+    p.add_argument("--nos_cnn_filters", type=int, default=0, help="attention variants: encoder channels the checkpoint was trained with (0 = the backbone's native width, 2048 for ResNet-50/101/152, 512 for 18/34 — the reference default)")
+    p.add_argument("--attn_dim", type=int, default=512, help="attention variants: attention hidden dim the checkpoint was trained with (reference default 512)")
     p.add_argument("--early_exit", type=int, default=0, help="stop decode (greedy or beam) when every sequence/beam emitted <end>; identical output")
     p.add_argument("--fast_jpeg", type=int, default=0, help="DCT-domain scaled JPEG decode (~2x host decode speed)")
     p.add_argument("--image_cache", default="", help="decoded-image cache dir (.npy per image keyed by path+size+mtime: stale entries re-decode automatically; shareable across serve runs)")
@@ -379,6 +381,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 2
 
     embed = args.embedding_length or (256 if args.variant == "gru" else 512)
+    cfg_kw = {}
+    if args.variant.startswith("attn"):
+        nos = args.nos_cnn_filters or (512 if args.resnet_version in (18, 34) else 2048)
+        cfg_kw = dict(nos_filters=nos, attn_dim=args.attn_dim)
     captioner = Captioner.from_checkpoint(
         args.ckpt,
         args.vocab,
@@ -391,6 +397,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         dp=args.dp,
         mp=args.mp,
         early_exit=bool(args.early_exit),
+        **cfg_kw,
     )
 
     B = max(1, args.batch_size)

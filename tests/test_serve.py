@@ -453,3 +453,49 @@ def test_serve_cli_dp_rounds_batch(trained, capsys):
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     assert [l.split("\t")[0] for l in lines] == three
+
+
+def test_serve_cli_attention_dims(tmp_path, capsys):
+    """The serve CLI can express attention checkpoints' --nos_cnn_filters
+    and --attn_dim (checkpoints trained at non-default dims were
+    API-only before): an attn checkpoint with attn_dim=16 on ResNet-18
+    (nos=512) serves through the CLI."""
+    import pickle
+
+    import jax
+
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.serve import main as serve_main
+    from show_tell_tpu.train.checkpoint import create_checkpoint
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state
+    from show_tell_tpu.vocab.vocabulary import DatasetVocabulary, save_vocab
+
+    vocab = DatasetVocabulary()
+    for w in ["<pad>", "<start>", "<end>", "<unk>", "a", "dog", "runs"]:
+        vocab.add_new_word(w)
+    out = str(tmp_path)
+    save_vocab(vocab, os.path.join(out, "vocab.pkl"))
+
+    cfg = CaptionerConfig("attn", 18, 12, 16, len(vocab), 1, nos_filters=512, attn_dim=16)
+    ts = create_train_state(jax.random.PRNGKey(0), cfg, make_optimizer("SGD", 0.01, 0.9))
+    create_checkpoint(ts, 1, 0, [1.0], {"output_dir": out})
+
+    from PIL import Image as PILImage
+
+    img = str(tmp_path / "img.jpg")
+    PILImage.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img)
+
+    rc = serve_main([
+        img,
+        "--ckpt", os.path.join(out, "model_1.ckpt"),
+        "--vocab", os.path.join(out, "vocab.pkl"),
+        "--variant", "attn", "--resnet_version", "18",
+        "--embedding_length", "12", "--num_hidden_units", "16",
+        "--num_layers", "1", "--compute_dtype", "float32",
+        "--nos_cnn_filters", "512", "--attn_dim", "16",
+        "--batch_size", "1",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(lines) == 1 and lines[0].split("\t")[0] == img
