@@ -103,29 +103,21 @@ def make_test_step(
             if cfg.is_attention:  # framework extension: ref is greedy-only here
                 ids = attn_beam_search_decode(
                     params["decoder"], cfg.decoder_config(), feats, beam_size, cfg.start_token,
-                    use_pallas=use_pallas, early_exit=early_exit,
+                    end_token=end_token, use_pallas=use_pallas, early_exit=early_exit,
                 )
             else:
                 ids = beam_search_decode(
                     params["decoder"], cfg.decoder_config(), feats, beam_size,
-                    use_pallas=use_pallas, early_exit=early_exit,
+                    end_token=end_token, use_pallas=use_pallas, early_exit=early_exit,
                 )
-        elif early_exit:
-            # Serving while_loop greedy paths (models/decoder.py,
-            # models/attention.py): same captions, <pad> after <end>.
-            feats, _ = encoder_forward(params["encoder"], bn_state, cfg.encoder_config(), images, training=False)
-            if cfg.is_attention:
-                from show_tell_tpu.models.attention import attn_greedy_decode
-
-                ids = attn_greedy_decode(
-                    params["decoder"], cfg.decoder_config(), feats, cfg.start_token, end_token=end_token
-                )
-            else:
-                from show_tell_tpu.models.decoder import greedy_decode
-
-                ids = greedy_decode(params["decoder"], cfg.decoder_config(), feats, end_token=end_token)
         else:
-            ids = captioner_greedy_decode(params, bn_state, cfg, images, use_pallas=use_pallas)
+            # early_exit routes to the shared while_loop engine inside
+            # the same dispatch — the --use_pallas policy (auto/forced)
+            # applies identically either way.
+            ids = captioner_greedy_decode(
+                params, bn_state, cfg, images, use_pallas=use_pallas,
+                end_token=end_token if early_exit else None,
+            )
         return loss, ids
 
     _TEST_STEP_CACHE[cache_key] = run

@@ -200,21 +200,9 @@ def attn_greedy_decode(
         (_, _), toks = jax.lax.scan(body, (w0, state0), None, length=T)
         return jnp.swapaxes(toks, 0, 1)
 
-    def cond(carry):
-        t, _, _, _, done = carry
-        return jnp.logical_and(t < T, ~jnp.all(done))
+    from show_tell_tpu.models.decoder import greedy_early_exit_loop
 
-    def body(carry):
-        t, w_emb, st, toks, done = carry
-        tok, st2 = step(w_emb, st)
-        tok = jnp.where(done, 0, tok)  # <pad> after <end>
-        toks = jax.lax.dynamic_update_slice(toks, tok[:, None].astype(jnp.int32), (0, t))
-        return (t + 1, params["embedding"][tok], st2, toks, done | (tok == end_token))
-
-    toks0 = jnp.zeros((B, T), jnp.int32)
-    done0 = jnp.zeros((B,), bool)
-    _, _, _, toks, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), w0, state0, toks0, done0))
-    return toks
+    return greedy_early_exit_loop(step, params["embedding"], w0, state0, B, T, end_token)
 
 
 def doubly_stochastic_penalty(alphas: jax.Array) -> jax.Array:

@@ -163,6 +163,7 @@ def captioner_greedy_decode(
     cfg: CaptionerConfig,
     images: jax.Array,
     use_pallas: "bool | None" = None,
+    end_token: "int | None" = None,
 ) -> jax.Array:
     """Eval-mode encode + 25-step batched greedy decode -> [B, 25] ids.
 
@@ -175,7 +176,11 @@ def captioner_greedy_decode(
     auto holds under dp / dp x mp meshes too; with an mp-sharded vocab
     projection only that projection falls back to XLA (see
     ops.vocab_projection_is_sharded).  True/False force the choice
-    (--use_pallas 1/0)."""
+    (--use_pallas 1/0).
+
+    end_token: early-exit decode — stop as soon as every row has emitted
+    <end> (the shared `lax.while_loop` engine; same kernels, same
+    captions, <pad> after <end>).  None = the reference's fixed-T scan."""
     feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
     if cfg.is_attention:
         if use_pallas is None:
@@ -186,14 +191,16 @@ def captioner_greedy_decode(
             from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
 
             return attn_greedy_decode_pallas(
-                params["decoder"], cfg.decoder_config(), feats, cfg.start_token
+                params["decoder"], cfg.decoder_config(), feats, cfg.start_token, end_token=end_token
             )
-        return attn_mod.attn_greedy_decode(params["decoder"], cfg.decoder_config(), feats, cfg.start_token)
+        return attn_mod.attn_greedy_decode(
+            params["decoder"], cfg.decoder_config(), feats, cfg.start_token, end_token=end_token
+        )
     if use_pallas:
         from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
 
-        return greedy_decode_pallas(params["decoder"], cfg.decoder_config(), feats)
-    return dec_mod.greedy_decode(params["decoder"], cfg.decoder_config(), feats)
+        return greedy_decode_pallas(params["decoder"], cfg.decoder_config(), feats, end_token=end_token)
+    return dec_mod.greedy_decode(params["decoder"], cfg.decoder_config(), feats, end_token=end_token)
 
 
 def config_from_params(params: Dict[str, Any], vocab_size: int, variant: str = "gru", **kw) -> CaptionerConfig:

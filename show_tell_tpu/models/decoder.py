@@ -120,6 +120,17 @@ def greedy_decode(
         (_, _), toks = jax.lax.scan(body, (cnn_feature, state), None, length=T)
         return jnp.swapaxes(toks, 0, 1)  # [B, 25]
 
+    return greedy_early_exit_loop(step, params["embedding"], cnn_feature, state, B, T, end_token)
+
+
+def greedy_early_exit_loop(step, embedding, x0, state0, B: int, T: int, end_token: int) -> jax.Array:
+    """Shared `lax.while_loop` greedy engine for the early-exit decode
+    paths (XLA and Pallas, pooled and attention): run ``step(x, st) ->
+    (tok, st2)`` until every row has emitted ``end_token`` (or T steps),
+    feeding back ``embedding[tok]``.  Positions after a row's first
+    <end> are <pad>; rows and steps before that are identical to the
+    fixed-T scan (pinned by test)."""
+
     def cond(carry):
         t, _, _, _, done = carry
         return jnp.logical_and(t < T, ~jnp.all(done))
@@ -129,9 +140,9 @@ def greedy_decode(
         tok, st2 = step(x, st)
         tok = jnp.where(done, 0, tok)  # <pad> after <end>
         toks = jax.lax.dynamic_update_slice(toks, tok[:, None].astype(jnp.int32), (0, t))
-        return (t + 1, params["embedding"][tok], st2, toks, done | (tok == end_token))
+        return (t + 1, embedding[tok], st2, toks, done | (tok == end_token))
 
     toks0 = jnp.zeros((B, T), jnp.int32)
     done0 = jnp.zeros((B,), bool)
-    _, _, _, toks, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), cnn_feature, state, toks0, done0))
+    _, _, _, toks, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, state0, toks0, done0))
     return toks

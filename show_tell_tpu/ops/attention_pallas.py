@@ -122,10 +122,15 @@ def attn_greedy_decode_pallas(
     cnn_feature: jax.Array,  # [B, C, P]
     start_token: int,
     interpret: bool = None,
+    end_token: "int | None" = None,
 ) -> jax.Array:
     """Greedy attention decode with the fused Pallas context kernel and
     the fused vocab projection+argmax kernel (rnn_attn.py:77-94
-    semantics; --use_pallas path for attn variants)."""
+    semantics; --use_pallas path for attn variants).
+
+    end_token: shared early-exit `lax.while_loop` engine around the SAME
+    Pallas step (decoder.greedy_early_exit_loop) — `--early_exit`
+    composes with `--use_pallas`."""
     from show_tell_tpu.models.attention import _init_hidden, _last_h, _linear
     from show_tell_tpu.models.rnn_cells import stack_step
     from show_tell_tpu.ops.vocab_pallas import prepare_vocab, project_argmax_pallas
@@ -149,8 +154,7 @@ def attn_greedy_decode_pallas(
     step_fn = stack_step(cfg.cell_type)
     block_b = 8 if B % 8 == 0 else 1
 
-    def body(carry, _):
-        w_emb, st = carry
+    def step(w_emb, st):
         context, _alpha = attention_context_pallas(
             params["attn"], feats_pm, att1, _last_h(st, cfg.cell_type), block_b=block_b, interpret=interpret
         )
@@ -160,6 +164,18 @@ def attn_greedy_decode_pallas(
             tok = project_argmax_pallas(vocab, top, interpret=interpret)
         else:
             tok = jnp.argmax(_linear(params["linear"], top), axis=-1)
+        return tok, st2
+
+    if end_token is not None:
+        from show_tell_tpu.models.decoder import greedy_early_exit_loop
+
+        return greedy_early_exit_loop(
+            step, params["embedding"], w0, state0, B, cfg.max_caption_length, end_token
+        )
+
+    def body(carry, _):
+        w_emb, st = carry
+        tok, st2 = step(w_emb, st)
         return (params["embedding"][tok], st2), tok
 
     (_, _), toks = jax.lax.scan(body, (w0, state0), None, length=cfg.max_caption_length)

@@ -222,11 +222,17 @@ def greedy_decode_pallas(
     cfg,
     cnn_feature: jax.Array,  # [B, E]
     interpret: bool = None,
+    end_token: "int | None" = None,
 ) -> jax.Array:
     """Greedy decode (reference rnn.py:44-58 / rnn_lstm.py:35-55
     semantics) with the fused Pallas stack step and the fused vocab
     projection+argmax kernel (logits never round-trip HBM); only the
-    embedding gather stays in XLA."""
+    embedding gather stays in XLA.
+
+    end_token: run the shared early-exit `lax.while_loop` engine
+    (decoder.greedy_early_exit_loop) around the SAME Pallas step — the
+    kernels trace identically under while_loop, so `--early_exit`
+    composes with `--use_pallas` instead of silently dropping it."""
     from show_tell_tpu.ops.vocab_pallas import prepare_vocab, project_argmax_pallas
 
     if interpret is None:  # auto: Mosaic needs a TPU; interpret elsewhere
@@ -239,7 +245,7 @@ def greedy_decode_pallas(
         if gates_bytes > 12 * 1024 * 1024:
             from show_tell_tpu.models.decoder import greedy_decode
 
-            return greedy_decode(params, cfg, cnn_feature)
+            return greedy_decode(params, cfg, cnn_feature, end_token=end_token)
     stacked = prepare_rnn_weights(params["rnn"])
     stacked = jax.tree.map(lambda w: w.astype(dtype), stacked)
     # mp-sharded vocab projection keeps the XLA path (GSPMD's native
@@ -256,8 +262,7 @@ def greedy_decode_pallas(
     else:
         state0 = hs0
 
-    def body(carry, _):
-        x, state = carry
+    def step(x, state):
         if cfg.cell_type == "lstm":
             top, state2 = lstm_stack_step_pallas(stacked, x, state[0], state[1], interpret=interpret)
         else:
@@ -267,8 +272,20 @@ def greedy_decode_pallas(
         else:
             logits = jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
             tok = jnp.argmax(logits, axis=-1)
-        return (params["embedding"][tok], state2), tok
+        return tok, state2
 
     x0 = cnn_feature.astype(dtype)
+    if end_token is not None:
+        from show_tell_tpu.models.decoder import greedy_early_exit_loop
+
+        return greedy_early_exit_loop(
+            step, params["embedding"], x0, state0, B, cfg.max_caption_length, end_token
+        )
+
+    def body(carry, _):
+        x, state = carry
+        tok, state2 = step(x, state)
+        return (params["embedding"][tok], state2), tok
+
     (_, _), toks = jax.lax.scan(body, (x0, state0), None, length=cfg.max_caption_length)
     return jnp.swapaxes(toks, 0, 1)

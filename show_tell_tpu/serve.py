@@ -180,22 +180,16 @@ class Captioner:
                         self.params["decoder"], cfg.decoder_config(), feats, beam_size,
                         early_exit=self.early_exit,
                     )
-                if self.early_exit:
-                    feats, _ = encoder_forward(
-                        self.params["encoder"], self.bn_state, cfg.encoder_config(), images, training=False
-                    )
-                    end_idx = self.vocab.word_to_index[self.vocab.end_token()]
-                    if cfg.is_attention:
-                        from show_tell_tpu.models.attention import attn_greedy_decode
-
-                        return attn_greedy_decode(
-                            self.params["decoder"], cfg.decoder_config(), feats,
-                            cfg.start_token, end_token=end_idx,
-                        )
-                    from show_tell_tpu.models.decoder import greedy_decode
-
-                    return greedy_decode(self.params["decoder"], cfg.decoder_config(), feats, end_token=end_idx)
-                return captioner_greedy_decode(self.params, self.bn_state, cfg, images)
+                # early_exit routes to the shared while_loop engine inside
+                # the same dispatch; the measured-auto Pallas kernel policy
+                # applies identically either way (kernels trace under
+                # lax.while_loop like under scan).
+                end_idx = (
+                    self.vocab.word_to_index[self.vocab.end_token()] if self.early_exit else None
+                )
+                return captioner_greedy_decode(
+                    self.params, self.bn_state, cfg, images, end_token=end_idx
+                )
 
             self._jitted[beam_size] = run
         return self._jitted[beam_size]

@@ -127,14 +127,17 @@ def build_mini_flickr(root, image_size=64, seed=0):
     return tsv, img_dir
 
 
-def load_reference_rnn_module(relpath="rnn.py"):
-    """Import an ACTUAL reference decoder module (/root/reference) live,
-    for differential tests against its decode paths.  Module-level deps
-    this sandbox lacks are faked just for the import: `cnn` and
-    `torchvision` are consumed only by rnn.py's __main__ CIFAR demo
-    (rnn.py:113-149), never by the classes under test; LSTM/rnn_lstm.py
-    and Attention/rnn_attn*.py import cleanly.  Returns the module, or
-    None when the reference checkout or torch is absent."""
+def _load_reference_module(relpath, fake_names=(), setup=None, add_sys_path=None):
+    """Shared loader for live-differential imports of reference modules.
+
+    Installs empty fake modules for each missing name in ``fake_names``
+    (so heavy deps the tested code never touches don't block the
+    import), runs ``setup(fakes)`` to populate them, optionally extends
+    sys.path, execs the file, and restores EVERYTHING it touched:
+    installed fakes, any sys.modules entries the import itself added
+    (e.g. utils.py caching the reference's vendored `evaluation`
+    package), and sys.path.  Returns the module, or None when the
+    reference checkout or torch is absent."""
     import importlib.util
     import sys
     import types
@@ -147,100 +150,13 @@ def load_reference_rnn_module(relpath="rnn.py"):
     except ImportError:
         return None
 
-    fakes = {}
-    for name in ("cnn", "torchvision", "torchvision.transforms"):
-        if name not in sys.modules:
-            fakes[name] = types.ModuleType(name)
-    if "cnn" in fakes:
-        fakes["cnn"].ResNet = object
-    if "torchvision" in fakes and "torchvision.transforms" in fakes:
-        fakes["torchvision"].transforms = fakes["torchvision.transforms"]
+    fakes = {name: types.ModuleType(name) for name in fake_names if name not in sys.modules}
+    if setup is not None:
+        setup(fakes)
+    before = set(sys.modules)
     sys.modules.update(fakes)
-    try:
-        spec = importlib.util.spec_from_file_location("ref_" + relpath.replace("/", "_").replace(".py", ""), path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        return mod
-    finally:
-        for name in fakes:
-            sys.modules.pop(name, None)
-
-
-def load_reference_utils_module():
-    """Import the ACTUAL reference utils.py live (create_batch,
-    create_caption_word_format, ... — utils.py:61-123).  Heavy deps its
-    import pulls that the tested functions never touch are faked
-    (torchvision incl. .models/.transforms, pycocotools); its vendored
-    scorer package imports fine with /root/reference on sys.path.
-    Returns the module, or None when unavailable."""
-    import importlib.util
-    import sys
-    import types
-
-    path = "/root/reference/utils.py"
-    if not os.path.exists(path):
-        return None
-    try:
-        import torch  # noqa: F401
-    except ImportError:
-        return None
-
-    fakes = {}
-    for name in (
-        "torchvision", "torchvision.transforms", "torchvision.models",
-        "pycocotools", "pycocotools.coco",
-    ):
-        if name not in sys.modules:
-            fakes[name] = types.ModuleType(name)
-    if "torchvision" in fakes:
-        fakes["torchvision"].transforms = fakes.get("torchvision.transforms")
-        fakes["torchvision"].models = fakes.get("torchvision.models")
-    if "pycocotools.coco" in fakes:
-        fakes["pycocotools.coco"].COCO = object
-        if "pycocotools" in fakes:
-            fakes["pycocotools"].coco = fakes["pycocotools.coco"]
-    sys.modules.update(fakes)
-    sys.path.insert(0, "/root/reference")
-    try:
-        spec = importlib.util.spec_from_file_location("ref_utils_module", path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        return mod
-    finally:
-        sys.path.remove("/root/reference")
-        for name in fakes:
-            sys.modules.pop(name, None)
-
-
-def load_reference_cnn_module(resnet_factories, relpath="cnn.py"):
-    """Import the ACTUAL reference cnn.py (or Attention/cnn_attn.py) live.
-    Its `torchvision.models` import is faked with the given factories
-    ({version: callable(pretrained=...) -> torch module}) — standing in
-    for the pretrained download, exactly like --backbone_weights does in
-    the real CLI.  Returns the module, or None when unavailable."""
-    import importlib.util
-    import sys
-    import types
-
-    path = os.path.join("/root/reference", relpath)
-    if not os.path.exists(path):
-        return None
-    try:
-        import torch  # noqa: F401
-    except ImportError:
-        return None
-
-    fakes = {}
-    for name in ("torchvision", "torchvision.models", "torchvision.transforms"):
-        if name not in sys.modules:
-            fakes[name] = types.ModuleType(name)
-    models_mod = fakes.get("torchvision.models") or sys.modules["torchvision.models"]
-    for version, factory in resnet_factories.items():
-        setattr(models_mod, "resnet%d" % version, factory)
-    if "torchvision" in fakes:
-        fakes["torchvision"].models = models_mod
-        fakes["torchvision"].transforms = fakes.get("torchvision.transforms")
-    sys.modules.update(fakes)
+    if add_sys_path:
+        sys.path.insert(0, add_sys_path)
     try:
         spec = importlib.util.spec_from_file_location(
             "ref_" + relpath.replace("/", "_").replace(".py", ""), path)
@@ -248,5 +164,82 @@ def load_reference_cnn_module(resnet_factories, relpath="cnn.py"):
         spec.loader.exec_module(mod)
         return mod
     finally:
+        if add_sys_path:
+            sys.path.remove(add_sys_path)
+        for name in set(sys.modules) - before:  # anything the import cached
+            sys.modules.pop(name, None)
         for name in fakes:
             sys.modules.pop(name, None)
+
+
+def load_reference_rnn_module(relpath="rnn.py"):
+    """Import an ACTUAL reference decoder module (/root/reference) live,
+    for differential tests against its decode paths.  `cnn` and
+    `torchvision` are consumed only by rnn.py's __main__ CIFAR demo
+    (rnn.py:113-149), never by the classes under test; LSTM/rnn_lstm.py
+    and Attention/rnn_attn*.py import cleanly."""
+
+    def setup(fakes):
+        if "cnn" in fakes:
+            fakes["cnn"].ResNet = object
+        if "torchvision" in fakes and "torchvision.transforms" in fakes:
+            fakes["torchvision"].transforms = fakes["torchvision.transforms"]
+
+    return _load_reference_module(
+        relpath, ("cnn", "torchvision", "torchvision.transforms"), setup)
+
+
+def load_reference_utils_module():
+    """Import the ACTUAL reference utils.py live (create_batch,
+    create_caption_word_format, ... — utils.py:61-123).  Heavy deps its
+    import pulls that the tested functions never touch are faked
+    (torchvision incl. .models/.transforms, pycocotools); its vendored
+    scorer package imports with /root/reference on sys.path (and is
+    un-cached again afterwards by the shared loader)."""
+
+    def setup(fakes):
+        if "torchvision" in fakes:
+            fakes["torchvision"].transforms = fakes.get("torchvision.transforms")
+            fakes["torchvision"].models = fakes.get("torchvision.models")
+        if "pycocotools.coco" in fakes:
+            fakes["pycocotools.coco"].COCO = object
+            if "pycocotools" in fakes:
+                fakes["pycocotools"].coco = fakes["pycocotools.coco"]
+
+    return _load_reference_module(
+        "utils.py",
+        ("torchvision", "torchvision.transforms", "torchvision.models",
+         "pycocotools", "pycocotools.coco"),
+        setup,
+        add_sys_path="/root/reference",
+    )
+
+
+def load_reference_cnn_module(resnet_factories, relpath="cnn.py"):
+    """Import the ACTUAL reference cnn.py (or Attention/cnn_attn.py) live.
+    Its `torchvision.models` import is faked with the given factories
+    ({version: callable(pretrained=...) -> torch module}) — standing in
+    for the pretrained download, exactly like --backbone_weights does in
+    the real CLI.  The factories go onto the FAKE models module only; a
+    real installed torchvision is never mutated (a fresh fake shadows it
+    for the duration of the import instead)."""
+    import sys
+    import types
+
+    def setup(fakes):
+        if "torchvision.models" not in fakes:
+            # torchvision genuinely installed: shadow it with a fake for
+            # the import rather than setattr-ing factories onto the real
+            # module (cross-test contamination otherwise).
+            fakes["torchvision.models"] = types.ModuleType("torchvision.models")
+            if "torchvision" not in fakes:
+                fakes["torchvision"] = types.ModuleType("torchvision")
+        models_mod = fakes["torchvision.models"]
+        for version, factory in resnet_factories.items():
+            setattr(models_mod, "resnet%d" % version, factory)
+        fakes["torchvision"].models = models_mod
+        if "torchvision.transforms" in fakes:
+            fakes["torchvision"].transforms = fakes["torchvision.transforms"]
+
+    return _load_reference_module(
+        relpath, ("torchvision", "torchvision.models", "torchvision.transforms"), setup)

@@ -308,3 +308,46 @@ def test_vocab_projection_sharded_guard_safe_under_tracing():
 
     jax.jit(f)(w)
     assert seen == [True]
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_greedy_decode_pallas_early_exit_matches_xla(cell):
+    """end_token (early-exit while_loop) around the Pallas step must be
+    bit-equal to the XLA early-exit decode AND to the fixed-scan Pallas
+    decode up to each row's first <end> (--early_exit composes with
+    --use_pallas)."""
+    B, E, H, L, V = 16, 64, 128, 2, 50
+    cfg = DecoderConfig(cell, E, H, V, L, max_caption_length=10)
+    params = init_decoder_params(jax.random.PRNGKey(5), cfg)
+    feat = jnp.asarray(np.random.RandomState(6).randn(B, E).astype(np.float32))
+    # random params rarely emit token 2 in 10 steps; use the fixed-scan
+    # argmax stream itself to pick an end token that DOES occur.
+    scan_ids = np.asarray(greedy_decode_pallas(params, cfg, feat, interpret=True))
+    end = int(scan_ids[0, 3])  # forces row 0 to retire mid-decode
+    ref = np.asarray(greedy_decode(params, cfg, feat, end_token=end))
+    got = np.asarray(greedy_decode_pallas(params, cfg, feat, interpret=True, end_token=end))
+    np.testing.assert_array_equal(got, ref)
+    for b in range(B):
+        ends = np.where(scan_ids[b] == end)[0]
+        upto = (ends[0] + 1) if len(ends) else scan_ids.shape[1]
+        np.testing.assert_array_equal(got[b, :upto], scan_ids[b, :upto])
+        assert (got[b, upto:] == 0).all()
+
+
+def test_attn_greedy_decode_pallas_early_exit_matches_xla():
+    from show_tell_tpu.models.attention import (
+        AttnDecoderConfig,
+        attn_greedy_decode,
+        init_attn_decoder_params,
+    )
+    from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
+
+    B, P, C, A, H, E, V, L = 8, 49, 256, 128, 128, 32, 60, 2
+    acfg = AttnDecoderConfig("gru", E, C, A, H, V, L, max_caption_length=8)
+    params = init_attn_decoder_params(jax.random.PRNGKey(4), acfg)
+    feats = jnp.asarray(np.random.RandomState(5).randn(B, C, P).astype(np.float32))
+    scan_ids = np.asarray(attn_greedy_decode_pallas(params, acfg, feats, 1, interpret=True))
+    end = int(scan_ids[0, 2])
+    ref = np.asarray(attn_greedy_decode(params, acfg, feats, 1, end_token=end))
+    got = np.asarray(attn_greedy_decode_pallas(params, acfg, feats, 1, interpret=True, end_token=end))
+    np.testing.assert_array_equal(got, ref)
