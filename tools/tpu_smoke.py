@@ -280,6 +280,21 @@ def bench_decode():
             record("gru_beam3_ee_" + tag, B, t_f, t_e)
             print(f"  beam-3 {tag:6s}: scan {t_f*1e3:6.2f} ms   early_exit {t_e*1e3:6.2f} ms   ({t_f/t_e:.2f}x)")
 
+    print("early_exit x use_pallas composition (attention GRU greedy, B=256):")
+    # The shared while_loop engine wraps the SAME step either way; this
+    # row shows the fused context+projection kernels keep their win when
+    # nothing retires (pure engine overhead case — the worst case for
+    # the composition).
+    for B in (256,):
+        acfg = AttnDecoderConfig("gru", 512, 2048, 512, 512, V, L)
+        ap = jax.tree.map(lambda a: a.astype(bf), init_attn_decoder_params(jax.random.PRNGKey(2), acfg))
+        feat_set = variants(jnp.zeros((B, 2048, 49), bf))
+        xla_fn = jax.jit(lambda f: attn_greedy_decode(ap, acfg, f, 1, end_token=2))
+        pls_fn = jax.jit(lambda f: attn_greedy_decode_pallas(ap, acfg, f, 1, interpret=False, end_token=2))
+        t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
+        record("attn_greedy_ee_pallas", B, t_x, t_p)
+        print(f"  B={B}: xla-ee {t_x*1e3:6.2f} ms   pallas-ee {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
+
     out_path = os.path.join(os.path.dirname(__file__), "..", "smoke_bench.json")
     with open(out_path, "w") as f:
         for r in rows:
