@@ -91,6 +91,37 @@ def _flagship_params(variant: str = "gru"):
     return cfg, params, state
 
 
+def _device_watchdog(seconds: float = 1200.0):
+    """The axon tunnel can wedge (observed: a 5h+ outage where even a
+    tiny matmul never returned).  A hung bench leaves NO artifact; this
+    prints a diagnostic JSON line and exits instead, once `seconds`
+    passes without the first device execution completing.  The bound is
+    ~6x a congested-hour first compile (~200s), so a slow-but-alive pool
+    never trips it.  Call cancel() after the first block_until_ready."""
+    import os
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_error",
+                    "value": 0,
+                    "unit": "device unresponsive",
+                    "vs_baseline": 0,
+                    "error": "first device execution did not complete in %ds (axon tunnel wedged?)" % seconds,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def _warmup(serve, batch: int, warmup: int = 12):
     """Compile + steady-state warmup (the first ~10 executions through
     the axon tunnel run slower than steady state)."""
@@ -99,8 +130,11 @@ def _warmup(serve, batch: int, warmup: int = 12):
 
     key = jax.random.PRNGKey(0)
     warm = jnp.zeros((batch, 224, 224, 3), jnp.uint8)
+    dog = _device_watchdog()
     for i in range(warmup):
         serve(warm, jax.random.fold_in(key, i)).block_until_ready()
+        if i == 0:
+            dog.cancel()
     return key
 
 
@@ -151,8 +185,12 @@ def bench_train(batch: int = 256, variant: str = "gru"):
     captions = rng.randint(4, 9956, (batch, T)).astype(np.int32)
     lengths = np.sort(rng.randint(8, T + 1, batch))[::-1].astype(np.int32).copy()
 
-    for _ in range(12):
+    dog = _device_watchdog()
+    for i in range(12):
         ts, loss = step(ts, images, captions, lengths)
+        if i == 0:
+            jax.block_until_ready(loss)
+            dog.cancel()
     jax.block_until_ready(loss)
     iters = 10
     t0 = time.perf_counter()
