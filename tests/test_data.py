@@ -1,5 +1,7 @@
 """Data pipeline tests: COCO parser, dataset, batching, loader, transforms."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -366,3 +368,43 @@ def test_collate_and_word_format_match_live_reference():
                           [1, 2, 0, 0, 0, 0, 0], [4, 7, 8, 5, 6, 4, 7]])
     for flag in (False, True):
         assert ours_words(tokenized, v, flag) == ref.create_caption_word_format(tokenized, v, flag)
+
+
+def test_sweep_tool(tmp_path, monkeypatch):
+    """tools/sweep.py runs the report's experiment grid through the real
+    CLI: 2 configs on the mini fixture, per-run Log_Output-style dirs,
+    checkpoints, and a sweep_summary.json with scores.  Runs in-process
+    (the tool imports jax via the CLI; a subprocess would re-init the
+    pre-imported axon backend instead of this suite's CPU config)."""
+    import importlib.util
+    import json
+    import sys
+
+    data_root = str(tmp_path / "data")
+    build_mini_coco(data_root)
+    sweep_out = str(tmp_path / "sweep")
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools", "sweep.py")
+    spec = importlib.util.spec_from_file_location("sweep_tool", tool)
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+    monkeypatch.setattr(sys, "argv", [
+        "sweep.py",
+        "--sweep_output", sweep_out, "--lrs", "0.01", "--embeds", "12",
+        "--optimizers", "SGD,Adam",
+        # passthrough -> every run
+        "--data_dir", data_root,
+        "--train_ann_path", "annotations/captions_train2014.json",
+        "--test_ann_path", "annotations/captions_train2014.json",
+        "--train_img_dir", "train2014", "--test_img_dir", "train2014",
+        "--vocab_threshold", "1", "--num_hidden_units", "16",
+        "--num_layers", "1", "--batch_size", "4", "--num_epochs", "1",
+        "--resnet_version", "18",
+        "--is_training", "1", "--is_testing", "1", "--load_model_test", "model_1",
+    ])
+    sweep.main()
+    with open(os.path.join(sweep_out, "sweep_summary.json")) as f:
+        summary = json.load(f)
+    assert [r["run"] for r in summary] == ["GRU_COCO_lr_0_01_Embed12_SGD", "GRU_COCO_lr_0_01_Embed12_Adam"]
+    for r in summary:
+        assert np.isfinite(r["scores"]["Bleu_1"]) and np.isfinite(r["scores"]["test_loss"])
+        assert os.path.isfile(os.path.join(sweep_out, r["run"], "model_1.ckpt"))
