@@ -7,7 +7,6 @@ loaders, construct models, train when --is_training, then test when
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, List, Optional
 
 import jax

@@ -22,7 +22,7 @@ A shared engine (`_beam_engine`) drives both decoder families:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

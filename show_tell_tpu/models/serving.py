@@ -15,7 +15,7 @@ detect it via the ``folded`` flag.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

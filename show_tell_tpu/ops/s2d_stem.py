@@ -21,11 +21,9 @@ s2d-layout tensors directly (no device-side transpose).
 
 from __future__ import annotations
 
-from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def transform_conv1_weight(w7: jax.Array) -> jax.Array:

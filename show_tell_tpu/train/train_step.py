@@ -9,7 +9,6 @@ out of input shardings (see parallel/mesh.py) — no code changes.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Tuple
 
 import jax

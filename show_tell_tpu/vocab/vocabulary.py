@@ -17,7 +17,6 @@ module path onto this class so reference-built vocab files load unchanged.
 
 from __future__ import annotations
 
-import io
 import os
 import pickle
 from collections import Counter

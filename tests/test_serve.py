@@ -460,7 +460,6 @@ def test_serve_cli_attention_dims(tmp_path, capsys):
     and --attn_dim (checkpoints trained at non-default dims were
     API-only before): an attn checkpoint with attn_dim=16 on ResNet-18
     (nos=512) serves through the CLI."""
-    import pickle
 
     import jax
 

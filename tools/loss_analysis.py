@@ -14,7 +14,6 @@ import glob
 import os
 import pickle
 import re
-from collections import defaultdict
 
 import numpy as np
 

@@ -20,7 +20,6 @@ Rows mirror BASELINE.md (Final_Report.pdf Tables 2-3).
 from __future__ import annotations
 
 import argparse
-import sys
 
 # (variant, embed, lr, optimizer, resnet) -> published {metric: value/100}
 ROWS = {
