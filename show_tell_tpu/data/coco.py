@@ -49,14 +49,31 @@ class CocoCaptions:
         return out
 
 
+def _csv_unquote(field: str) -> str:
+    """pandas-compatible unquoting of ONE well-formed csv-quoted cell:
+    a field that starts and ends with ``"`` with only doubled quotes
+    inside is unwrapped and ``""`` -> ``"`` (the reference reads the
+    Flickr TSV with pd.read_table, vocab_builder.py:84, which applies
+    QUOTE_MINIMAL semantics — vocab ids must match on any file the
+    reference can parse).  Anything else — notably an UNbalanced
+    leading quote, on which the reference's pandas parse crashes
+    outright — is kept raw (robustness beyond the reference)."""
+    if len(field) >= 2 and field[0] == '"' and field[-1] == '"':
+        inner = field[1:-1]
+        if '"' not in inner.replace('""', ""):
+            return inner.replace('""', '"')
+    return field
+
+
 def parse_flickr_tsv(annotation_file: str):
     """Yield (image_name, caption) rows from a Flickr-style TSV.
 
-    Plain ``split`` — no csv quote interpretation, so captions that
-    start with a double-quote can't swallow later rows.  Handles both
-    the plain ``image<TAB>caption`` layout and the real Flickr30k token
-    file's ``name.jpg#k<TAB>caption`` rows (the ``#k`` caption index is
-    stripped from the image name)."""
+    Line-oriented ``split`` (a quoted caption never swallows later rows
+    or embedded tabs, unlike a full csv parse), then pandas-compatible
+    unquoting of well-formed quoted cells (see _csv_unquote).  Handles
+    both the plain ``image<TAB>caption`` layout and the real Flickr30k
+    token file's ``name.jpg#k<TAB>caption`` rows (the ``#k`` caption
+    index is stripped from the image name)."""
     import re
 
     with open(annotation_file) as f:
@@ -64,7 +81,7 @@ def parse_flickr_tsv(annotation_file: str):
             parts = line.rstrip("\n").split("\t", 1)
             if len(parts) < 2 or not parts[0]:
                 continue
-            yield re.sub(r"#\d+$", "", parts[0]), parts[1]
+            yield re.sub(r"#\d+$", "", parts[0]), _csv_unquote(parts[1])
 
 
 class FlickrCaptions(CocoCaptions):

@@ -251,6 +251,9 @@ def _load_reference_vocab_builder(monkeypatch):
     fake_pkg.coco = fake_coco
     monkeypatch.setitem(_sys.modules, "pycocotools", fake_pkg)
     monkeypatch.setitem(_sys.modules, "pycocotools.coco", fake_coco)
+    ours("probe.")  # resolve our tokenizer's one-time nltk probe BEFORE
+    # the patch below makes nltk.tokenize.word_tokenize point back at us
+    # (otherwise a fresh process recurses: ours -> probe -> ours -> ...)
     monkeypatch.setattr(nltk.tokenize, "word_tokenize", ours)
 
     cwd = os.getcwd()
@@ -291,3 +294,27 @@ def test_vocab_differential_vs_live_reference(tmp_path, monkeypatch, threshold):
     loaded = load_vocab(ref_params["vocab_path"])
     assert loaded.word_to_index == our_vocab.word_to_index
     assert type(loaded).__module__.startswith("show_tell_tpu")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_VOCAB_BUILDER), reason="reference checkout not available")
+def test_flickr_vocab_differential_vs_live_reference(tmp_path, monkeypatch):
+    """The Flickr branch (vocab_builder.py:82-88 reads the TSV with
+    pd.read_table): bit-identical word<->id maps on a TSV with a
+    well-formed csv-quoted caption (pandas unescapes ``""`` -> ``"``;
+    our _csv_unquote must match, else insertion ORDER shifts every
+    later id).  An UNbalanced quote crashes the reference's pandas
+    parse outright — our parser keeps such rows raw (pinned by
+    test_flickr_vocab_consistent_with_dataset_index), so only the
+    parseable case is differential."""
+    ref_mod = _load_reference_vocab_builder(monkeypatch)
+    tsv = tmp_path / "captions.tsv"
+    tsv.write_text(
+        'a.jpg#0\t"A man says ""hi"" loudly"\n'
+        "a.jpg#1\ta man waves\n"
+        "b.jpg\ta dog sits, happily!\n"
+    )
+    base = {"data_dir": str(tmp_path), "train_ann_path": "captions.tsv", "vocab_threshold": 1}
+    ref_vocab = ref_mod.get_vocabulary("Flickr", dict(base, vocab_path=str(tmp_path / "r.pkl")))
+    our_vocab = get_vocabulary("Flickr", dict(base, vocab_path=str(tmp_path / "o.pkl")))
+    assert our_vocab.word_to_index == ref_vocab.word_to_index
+    assert our_vocab.index_to_word == ref_vocab.index_to_word
