@@ -408,3 +408,19 @@ def test_sweep_tool(tmp_path, monkeypatch):
     for r in summary:
         assert np.isfinite(r["scores"]["Bleu_1"]) and np.isfinite(r["scores"]["test_loss"])
         assert os.path.isfile(os.path.join(sweep_out, r["run"], "model_1.ckpt"))
+
+
+def test_csv_unquote_contract():
+    """_csv_unquote: pandas-compatible for well-formed quoted cells,
+    raw passthrough for everything pandas would choke on or treat as
+    unquoted (mid-text quotes are literal under QUOTE_MINIMAL)."""
+    from show_tell_tpu.data.coco import _csv_unquote
+
+    assert _csv_unquote('"a quoted cell"') == "a quoted cell"
+    assert _csv_unquote('"says ""hi"" loudly"') == 'says "hi" loudly'
+    assert _csv_unquote('""') == ""
+    assert _csv_unquote('plain text') == "plain text"
+    assert _csv_unquote('mid "quote" text') == 'mid "quote" text'
+    assert _csv_unquote('"unbalanced start') == '"unbalanced start'
+    assert _csv_unquote('"inner " lone quote"') == '"inner " lone quote"'
+    assert _csv_unquote('"') == '"'
