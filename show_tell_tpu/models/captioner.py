@@ -168,13 +168,18 @@ def captioner_greedy_decode(
     """Eval-mode encode + 25-step batched greedy decode -> [B, 25] ids.
 
     use_pallas: None = measured auto policy (tools/tpu_smoke.py --bench,
-    v5e serving shapes): the fused Pallas context and projection+argmax
-    kernels win for attention decode on TPU and are used there; the
-    GRU/LSTM hybrid kernel's win is pending re-measurement with the
-    fused projection (see smoke_bench.json) and stays opt-in.  Every
-    kernel carries a batch-parallel GSPMD rule (ops/partition.py), so
-    auto holds under dp / dp x mp meshes too; with an mp-sharded vocab
-    projection only that projection falls back to XLA (see
+    v5e serving shapes): attention decode uses the fused context +
+    projection kernels (1.38x greedy); pooled GRU greedy uses the FULLY
+    fused step kernel (ops/fused_step_pallas.py — recurrence +
+    projection + argmax in one Mosaic invocation, 1.09x/step at
+    T-amplified measurement, the reference's always-on cuDNN hot-loop
+    analogue); the pooled LSTM fused step measured ~1% slower and auto
+    keeps it on the XLA scan.  f32 parity shapes exceed the kernel's
+    VMEM budget and transparently keep the XLA scan (guard in
+    greedy_decode_pallas).
+    Every kernel carries a batch-parallel GSPMD rule (ops/partition.py),
+    so auto holds under dp / dp x mp meshes too; with an mp-sharded
+    vocab projection only that projection falls back to XLA (see
     ops.vocab_projection_is_sharded).  True/False force the choice
     (--use_pallas 1/0).
 
@@ -196,6 +201,15 @@ def captioner_greedy_decode(
         return attn_mod.attn_greedy_decode(
             params["decoder"], cfg.decoder_config(), feats, cfg.start_token, end_token=end_token
         )
+    if use_pallas is None:
+        from show_tell_tpu.ops import pallas_auto_default
+
+        # Measured per cell (T=200-amplified interleaved A/B, see
+        # ARCHITECTURE.md): the fused step wins for GRU (1.09x/step);
+        # the LSTM variant is ~1% slower (its 4-gate weight blocks
+        # throttle the grid pipeline), so auto keeps LSTM on the XLA
+        # scan (--use_pallas 1 still forces the kernel).
+        use_pallas = pallas_auto_default() and cfg.cell_type == "gru"
     if use_pallas:
         from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
 

@@ -5,13 +5,21 @@ import jax
 
 def pallas_auto_default() -> bool:
     """The measured `--use_pallas -1` auto policy (tools/tpu_smoke.py
-    --bench): the fused attention context and vocab projection+argmax
-    kernels win on TPU, so auto is ON whenever the backend is a TPU.
+    --bench): the fused attention context kernel (1.38x greedy) and the
+    fully fused pooled-GRU decode-step kernel (ops/fused_step_pallas.py,
+    1.09x per step at T=200-amplified serving shapes — the always-on
+    cuDNN-fused hot loop analogue, reference rnn.py:24) win on TPU, so
+    auto is ON whenever the backend is a TPU.  Per-cell refinement
+    happens at the call sites: the pooled-LSTM fused step measured ~1%
+    slower (models/captioner.py keeps it on the XLA scan), and the
+    sparse beam top-k kernel stays off (pallas_beam_default below).
     Multi-device meshes included: every kernel carries a batch-parallel
     GSPMD partitioning rule (ops/partition.py), so under dp (or dp x mp)
     sharding it runs per-shard — the round-2 `device_count == 1`
-    restriction is gone.  On CPU/GPU backends Mosaic is unavailable and
-    the XLA paths are used."""
+    restriction is gone.  f32 parity shapes exceed the pooled kernel's
+    VMEM budget and transparently keep the XLA scan (guard in
+    rnn_pallas.greedy_decode_pallas).  On CPU/GPU backends Mosaic is
+    unavailable and the XLA paths are used."""
     return jax.default_backend() == "tpu"
 
 

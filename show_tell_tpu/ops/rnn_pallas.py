@@ -11,9 +11,11 @@ matmuls per layer fused with the VPU gate math.
 Layer 0's input width E may be < H; its weights/inputs are zero-padded to
 H once at preparation time (zeros contribute nothing to the matmul).
 
-The vocab projection + argmax run in a second fused kernel
-(ops/vocab_pallas.py) that keeps the [B, V] logits out of HBM entirely;
-only the embedding gather stays in XLA — fusing it too would need an
+For greedy decode the stack step, vocab projection, and argmax fuse
+further into ONE kernel (ops/fused_step_pallas.py) — the [B, V] logits
+and the [B, H] top activation never touch HBM; the standalone stack
+kernels here remain for the mp-sharded-projection path and beam search.
+Only the embedding gather stays in XLA — fusing it too would need an
 in-kernel dynamic row gather (embedding[argmax]), and this Mosaic
 version supports neither int indexing on refs nor a per-row
 dynamic-slice loop (compiler ICE).  The gather lowers well in XLA.
@@ -225,23 +227,29 @@ def greedy_decode_pallas(
     end_token: "int | None" = None,
 ) -> jax.Array:
     """Greedy decode (reference rnn.py:44-58 / rnn_lstm.py:35-55
-    semantics) with the fused Pallas stack step and the fused vocab
-    projection+argmax kernel (logits never round-trip HBM); only the
+    semantics) with the fully fused Pallas step: L-layer recurrence +
+    vocab projection + argmax in ONE kernel per step (neither the [B, V]
+    logits nor the [B, H] top activation round-trip HBM); only the
     embedding gather stays in XLA.
 
     end_token: run the shared early-exit `lax.while_loop` engine
     (decoder.greedy_early_exit_loop) around the SAME Pallas step — the
     kernels trace identically under while_loop, so `--early_exit`
     composes with `--use_pallas` instead of silently dropping it."""
-    from show_tell_tpu.ops.vocab_pallas import prepare_vocab, project_argmax_pallas
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab
 
     if interpret is None:  # auto: Mosaic needs a TPU; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
     B = cnn_feature.shape[0]
     dtype = params["embedding"].dtype
-    if cfg.cell_type == "lstm" and not interpret:
-        # VMEM guard: double-buffered 4-gate weight blocks must fit.
-        gates_bytes = 2 * 2 * cfg.hidden_dim * 4 * cfg.hidden_dim * jnp.dtype(dtype).itemsize
+    if not interpret:
+        # VMEM guard: the double-buffered gate weight blocks must fit
+        # alongside the vocab stream and activations.  bf16 serving
+        # shapes (H=512: GRU 6.3MB, LSTM 8.4MB) pass; f32 parity shapes
+        # (GRU 12.6MB, LSTM 16.8MB) exceed the budget and keep the XLA
+        # scan — which is also the measured-parity dtype path.
+        n_gates = 4 if cfg.cell_type == "lstm" else 3
+        gates_bytes = 2 * 2 * cfg.hidden_dim * n_gates * cfg.hidden_dim * jnp.dtype(dtype).itemsize
         if gates_bytes > 12 * 1024 * 1024:
             from show_tell_tpu.models.decoder import greedy_decode
 
@@ -263,15 +271,28 @@ def greedy_decode_pallas(
         state0 = hs0
 
     def step(x, state):
+        if vocab_kernel:
+            # Fully fused: L-layer recurrence + projection + argmax in ONE
+            # Mosaic invocation (ops/fused_step_pallas.py) — decode is
+            # overhead-bound, so collapsing the per-step kernel count is
+            # the measured win on top of the logits-HBM saving.
+            from show_tell_tpu.ops.fused_step_pallas import (
+                fused_gru_decode_step_pallas,
+                fused_lstm_decode_step_pallas,
+            )
+
+            if cfg.cell_type == "lstm":
+                return fused_lstm_decode_step_pallas(
+                    stacked, vocab, x, state[0], state[1], interpret=interpret
+                )
+            return fused_gru_decode_step_pallas(stacked, vocab, x, state, interpret=interpret)
+        # mp-sharded vocab projection: recurrence kernel + XLA projection.
         if cfg.cell_type == "lstm":
             top, state2 = lstm_stack_step_pallas(stacked, x, state[0], state[1], interpret=interpret)
         else:
             top, state2 = gru_stack_step_pallas(stacked, x, state, interpret=interpret)
-        if vocab_kernel:
-            tok = project_argmax_pallas(vocab, top, interpret=interpret)
-        else:
-            logits = jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
-            tok = jnp.argmax(logits, axis=-1)
+        logits = jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]
+        tok = jnp.argmax(logits, axis=-1)
         return tok, state2
 
     x0 = cnn_feature.astype(dtype)

@@ -91,6 +91,68 @@ def test_greedy_decode_pallas_lstm_matches_xla():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_fused_decode_step_matches_xla_step(cell):
+    """The fully fused decode-step kernel (recurrence + vocab projection
+    + argmax in ONE invocation, ops/fused_step_pallas.py) == the XLA
+    stack step followed by argmax(top @ w + b), incl. layer-0 input
+    padding (E < H) and vocab padding (V=70 onto the 512-wide block)."""
+    from show_tell_tpu.models.rnn_cells import stack_step
+    from show_tell_tpu.ops.fused_step_pallas import (
+        fused_gru_decode_step_pallas,
+        fused_lstm_decode_step_pallas,
+    )
+    from show_tell_tpu.ops.rnn_pallas import prepare_rnn_weights
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab
+
+    B, E, H, L, V = 16, 64, 128, 3, 70
+    cfg = DecoderConfig(cell, E, H, V, L)
+    params = init_decoder_params(jax.random.PRNGKey(13), cfg)
+    stacked = prepare_rnn_weights(params["rnn"])
+    vocab = prepare_vocab(params["linear"])
+    x = jnp.asarray(np.random.RandomState(14).randn(B, E).astype(np.float32))
+    hs = jnp.asarray(np.random.RandomState(15).randn(L, B, H).astype(np.float32))
+    if cell == "lstm":
+        cs = jnp.asarray(np.random.RandomState(16).randn(L, B, H).astype(np.float32))
+        ref_top, (ref_hs, ref_cs) = stack_step("lstm")(params["rnn"], x, (hs, cs))
+        tok, (new_hs, new_cs) = fused_lstm_decode_step_pallas(stacked, vocab, x, hs, cs, interpret=True)
+        np.testing.assert_allclose(np.asarray(new_cs), np.asarray(ref_cs), rtol=1e-5, atol=1e-5)
+    else:
+        ref_top, ref_hs = stack_step("gru")(params["rnn"], x, hs)
+        tok, new_hs = fused_gru_decode_step_pallas(stacked, vocab, x, hs, interpret=True)
+    ref_tok = jnp.argmax(jnp.dot(ref_top, params["linear"]["w"]) + params["linear"]["b"], axis=-1)
+    np.testing.assert_allclose(np.asarray(new_hs), np.asarray(ref_hs), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+
+
+def test_fused_decode_step_batch_blocked():
+    """B > block_b: the outer batch-block grid dimension must re-init the
+    per-block scratch (x_buf at t==0, argmax state at the first vocab
+    block) — forced here by shrinking the block picker to 8 rows."""
+    from show_tell_tpu.models.rnn_cells import stack_step_gru
+    from show_tell_tpu.ops import fused_step_pallas as fsp
+    from show_tell_tpu.ops.rnn_pallas import prepare_rnn_weights
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab
+
+    B, E, H, L, V = 24, 32, 64, 2, 40
+    cfg = DecoderConfig("gru", E, H, V, L)
+    params = init_decoder_params(jax.random.PRNGKey(17), cfg)
+    stacked = prepare_rnn_weights(params["rnn"])
+    vocab = prepare_vocab(params["linear"])
+    x = jnp.asarray(np.random.RandomState(18).randn(B, E).astype(np.float32))
+    hs = jnp.asarray(np.random.RandomState(19).randn(L, B, H).astype(np.float32))
+    orig = fsp._pick_block_b
+    fsp._pick_block_b = lambda b: 8
+    try:
+        tok, new_hs = fsp.fused_gru_decode_step_pallas(stacked, vocab, x, hs, interpret=True)
+    finally:
+        fsp._pick_block_b = orig
+    ref_top, ref_hs = stack_step_gru(params["rnn"], x, hs)
+    ref_tok = jnp.argmax(jnp.dot(ref_top, params["linear"]["w"]) + params["linear"]["b"], axis=-1)
+    np.testing.assert_allclose(np.asarray(new_hs), np.asarray(ref_hs), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+
+
 def test_attention_context_pallas_matches_reference():
     from show_tell_tpu.models.attention import (
         AttnDecoderConfig,
@@ -248,6 +310,24 @@ def test_pallas_kernels_partition_under_mesh(dp, mp):
         ),
         [x, hs, cs],
         [stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"]],
+        [0, 1, 1],
+    )
+
+    # fully fused decode step (LSTM: widest rule — 2 batch states, 3 outputs)
+    from show_tell_tpu.ops.fused_step_pallas import fused_lstm_decode_step_pallas
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab as _prep_vocab
+
+    vp = _prep_vocab(
+        {"w": jnp.asarray(rng.randn(H, V).astype(np.float32)),
+         "b": jnp.asarray(rng.randn(V).astype(np.float32))})
+    _mesh_equal(
+        mesh,
+        lambda x_, h_, c_, wv, bv, *w: fused_lstm_decode_step_pallas(
+            dict(zip(("w_ih", "w_hh", "b_ih", "b_hh"), w)),
+            {"w": wv, "b": bv}, x_, h_, c_, interpret=True,
+        ),
+        [x, hs, cs],
+        [vp["w"], vp["b"], stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"]],
         [0, 1, 1],
     )
 

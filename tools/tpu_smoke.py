@@ -205,15 +205,31 @@ def bench_decode():
         return [jnp.asarray(rng.randn(*arr.shape).astype(np.float32)).astype(arr.dtype) for _ in range(k)]
 
     E, H, V, L = 256, 512, 9956, 5
-    print("GRU greedy decode, 25 steps, H=512 L=5 V=9956 bf16:")
-    for B in (256, 512):
-        cfg = DecoderConfig("gru", E, H, V, L)
+    print("Pooled greedy decode (fully fused step kernel), 25 steps, H=512 L=5 V=9956 bf16:")
+    for cell, batches in (("gru", (256, 512)), ("lstm", (512,))):
+        for B in batches:
+            cfg = DecoderConfig(cell, E, H, V, L)
+            params = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
+            feat_set = variants(jnp.zeros((B, E), bf))
+            xla_fn = jax.jit(lambda f: greedy_decode(params, cfg, f))
+            pls_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False))
+            t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
+            record(f"{cell}_greedy", B, t_x, t_p)
+            print(f"  {cell} B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
+
+    # T-amplified row: at T=25 the per-decode kernel deltas (~0.1ms) sit
+    # inside the tunnel's +-0.4ms run-to-run noise; 200 steps amplify the
+    # per-step difference 8x above it, which is how the fused-step win
+    # was established (ARCHITECTURE.md "Measured limits").
+    print("GRU greedy decode, T=200 amplification (kernel-delta resolution):")
+    for B in (512,):
+        cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=200)
         params = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
         feat_set = variants(jnp.zeros((B, E), bf))
         xla_fn = jax.jit(lambda f: greedy_decode(params, cfg, f))
         pls_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False))
         t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
-        record("gru_greedy", B, t_x, t_p)
+        record("gru_greedy_t200", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
     print("Attention GRU greedy decode, 25 steps, E=H=A=512 V=9956 bf16:")
