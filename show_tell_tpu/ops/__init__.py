@@ -29,7 +29,10 @@ def pallas_beam_default() -> bool:
     On-chip paired A/B (tools/tpu_smoke.py --bench, smoke_bench.json):
     GRU beam-3 at B=256 runs 0.93x with the sparse kernel — its k
     sequential max/argmax/mask passes per vocab block cost more VPU
-    time than the avoided [B*K, V] logits HBM round-trip saves.  The
+    time than the avoided [B*K, V] logits HBM round-trip saves.
+    Re-confirmed under the T=200-amplified protocol (ARCHITECTURE.md
+    "How decode kernels must be measured"): XLA 104.2ms vs sparse
+    kernel 111.3ms median — a real 6.8%/step loss, not noise.  The
     kernel stays available (--use_pallas 1, sparse == dense tested);
     the attention beam's win comes from the context kernel (1.23x at
     B=128), which follows pallas_auto_default, not this flag."""
