@@ -163,14 +163,22 @@ def _rnn_state_helpers(B: int, K: int):
     return tile, gather
 
 
-def _sparse_projection(params, beam_size):
+def _sparse_projection(params, beam_size, vocab_sharded=None):
     """The fused projection+top-k step for _beam_engine's sparse mode,
     or None when it must not run (non-TPU backend unless interpreting is
     fine, or an mp(vocab)-sharded projection — GSPMD's vocab-axis
-    collectives need the dense XLA path)."""
-    from show_tell_tpu.ops import vocab_projection_is_sharded
+    collectives need the dense XLA path).
 
-    if vocab_projection_is_sharded(params["linear"]):
+    vocab_sharded: statically-known sharding of the projection weight.
+    None = inspect params — correct for concrete arrays, but under a
+    caller's jit trace the inspection conservatively reports sharded, so
+    jitted callers must pass the flag computed on the concrete params
+    (evaluation/tester.py does)."""
+    if vocab_sharded is None:
+        from show_tell_tpu.ops import vocab_projection_is_sharded
+
+        vocab_sharded = vocab_projection_is_sharded(params["linear"])
+    if vocab_sharded:
         return None
     from show_tell_tpu.ops.vocab_pallas import prepare_vocab, project_topk_pallas
 
@@ -192,6 +200,7 @@ def beam_search_decode(
     pad_token: int = 0,
     use_pallas: "bool | None" = None,
     early_exit: bool = False,
+    vocab_sharded: "bool | None" = None,
 ) -> jax.Array:
     """Beam over the GRU/LSTM captioner; step 0 consumes the image
     feature (rnn.py:41).  Returns [B, max_caption_length] ids.
@@ -201,7 +210,8 @@ def beam_search_decode(
     use_pallas: None = measured auto (ops.pallas_beam_default): route
     the per-step vocab projection through the fused projection+top-k
     kernel — the [B*K, V] logits and the K*V-wide XLA top_k collapse to
-    [B*K, K] candidates.  Identical hypotheses (see _beam_engine)."""
+    [B*K, K] candidates.  Identical hypotheses (see _beam_engine).
+    vocab_sharded: see _sparse_projection (jitted callers pass it)."""
     B, _ = cnn_feature.shape
     K, T = beam_size, cfg.max_caption_length
     step = stack_step(cfg.cell_type)
@@ -213,7 +223,7 @@ def beam_search_decode(
         from show_tell_tpu.ops import pallas_beam_default
 
         use_pallas = pallas_beam_default()
-    sparse_proj = _sparse_projection(params, K) if use_pallas else None
+    sparse_proj = _sparse_projection(params, K, vocab_sharded) if use_pallas else None
 
     state0 = init_state(cfg.cell_type, cfg.num_layers, B, cfg.hidden_dim, cnn_feature.dtype)
     top, state1 = step(params["rnn"], cnn_feature, state0)
@@ -250,6 +260,7 @@ def attn_beam_search_decode(
     pad_token: int = 0,
     use_pallas: "bool | None" = None,
     early_exit: bool = False,
+    vocab_sharded: "bool | None" = None,
 ) -> jax.Array:
     """Beam over the soft-attention decoders (framework extension; the
     reference decodes attention models greedily only, rnn_attn.py:77-94).
@@ -296,7 +307,7 @@ def attn_beam_search_decode(
         use_sparse = pallas_beam_default()
     else:
         use_sparse = use_pallas
-    sparse_proj = _sparse_projection(params, K) if use_sparse else None
+    sparse_proj = _sparse_projection(params, K, vocab_sharded) if use_sparse else None
 
     def trunk(w_emb, feats, a1, state):
         context = context_fn(feats, a1, _last_h(state, cfg.cell_type))

@@ -31,6 +31,7 @@ from show_tell_tpu.models.captioner import (
     merge_params,
 )
 from show_tell_tpu.models.encoder import encoder_forward
+from show_tell_tpu.ops import vocab_projection_is_sharded
 
 
 def create_caption_word_format(tokenized, vocab, flag_blue: bool = False) -> List:
@@ -66,6 +67,7 @@ def make_test_step(
     loss_only: bool = False,
     early_exit: bool = False,
     end_token: int = 2,
+    vocab_sharded: bool = True,
 ):
     """Jitted (loss, decoded ids) for one batch; beam_size>0 uses the
     standard batched beam (non-attention decoders only, like the ref);
@@ -83,10 +85,19 @@ def make_test_step(
     <pad> instead of the reference's dont-care argmax continuations, and
     `create_caption_word_format` truncates at <end> either way.  A
     trained model's mean caption is ~12 tokens, so full-val eval decode
-    skips roughly half its 25 fixed steps."""
+    skips roughly half its 25 fixed steps.
+
+    vocab_sharded: whether the output projection is mp(vocab)-sharded,
+    decided by the CALLER on concrete params (test_model does) — inside
+    the jitted step the params are Tracers and the sharding inspection
+    would conservatively report sharded, silently disabling the fused
+    vocab-projection / fused-step / sparse-beam kernels.  Defaults to
+    True (the safe XLA projection) for direct callers."""
 
     dtype = compute_dtype or jnp.float32
-    cache_key = (cfg, beam_size, augment, use_pallas, dtype, loss_only, early_exit, end_token)
+    cache_key = (
+        cfg, beam_size, augment, use_pallas, dtype, loss_only, early_exit, end_token, vocab_sharded,
+    )
     cached = _TEST_STEP_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -104,11 +115,13 @@ def make_test_step(
                 ids = attn_beam_search_decode(
                     params["decoder"], cfg.decoder_config(), feats, beam_size, cfg.start_token,
                     end_token=end_token, use_pallas=use_pallas, early_exit=early_exit,
+                    vocab_sharded=vocab_sharded,
                 )
             else:
                 ids = beam_search_decode(
                     params["decoder"], cfg.decoder_config(), feats, beam_size,
                     end_token=end_token, use_pallas=use_pallas, early_exit=early_exit,
+                    vocab_sharded=vocab_sharded,
                 )
         else:
             # early_exit routes to the shared while_loop engine inside
@@ -117,6 +130,7 @@ def make_test_step(
             ids = captioner_greedy_decode(
                 params, bn_state, cfg, images, use_pallas=use_pallas,
                 end_token=end_token if early_exit else None,
+                vocab_sharded=vocab_sharded,
             )
         return loss, ids
 
@@ -172,6 +186,12 @@ def test_model(
         # shapes the jitted decode loops.
         early_exit=bool(params.get("early_exit", 0)) and not use_faithful,
         end_token=vocab.word_to_index[vocab.end_token()],
+        # Decided here, on the CONCRETE params — inside the jitted step
+        # the inspection would see Tracers and wrongly disable the
+        # vocab/fused-step kernels (r3 continuation review finding).
+        vocab_sharded=vocab_projection_is_sharded(
+            train_state.trainable["decoder"]["linear"]
+        ),
     )
     key = jax.random.PRNGKey(seed)
 

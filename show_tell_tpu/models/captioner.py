@@ -164,6 +164,7 @@ def captioner_greedy_decode(
     images: jax.Array,
     use_pallas: "bool | None" = None,
     end_token: "int | None" = None,
+    vocab_sharded: "bool | None" = None,
 ) -> jax.Array:
     """Eval-mode encode + 25-step batched greedy decode -> [B, 25] ids.
 
@@ -185,7 +186,14 @@ def captioner_greedy_decode(
 
     end_token: early-exit decode — stop as soon as every row has emitted
     <end> (the shared `lax.while_loop` engine; same kernels, same
-    captions, <pad> after <end>).  None = the reference's fixed-T scan."""
+    captions, <pad> after <end>).  None = the reference's fixed-T scan.
+
+    vocab_sharded: statically-known sharding of the output projection.
+    None = inspect params — correct for concrete arrays, but a caller
+    that jits THIS function must pass the flag computed on the concrete
+    params, because inspecting traced params conservatively reports
+    sharded and would silently disable the vocab/fused-step kernels
+    (evaluation/tester.py does this)."""
     feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
     if cfg.is_attention:
         if use_pallas is None:
@@ -196,7 +204,8 @@ def captioner_greedy_decode(
             from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
 
             return attn_greedy_decode_pallas(
-                params["decoder"], cfg.decoder_config(), feats, cfg.start_token, end_token=end_token
+                params["decoder"], cfg.decoder_config(), feats, cfg.start_token,
+                end_token=end_token, vocab_sharded=vocab_sharded,
             )
         return attn_mod.attn_greedy_decode(
             params["decoder"], cfg.decoder_config(), feats, cfg.start_token, end_token=end_token
@@ -213,7 +222,10 @@ def captioner_greedy_decode(
     if use_pallas:
         from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
 
-        return greedy_decode_pallas(params["decoder"], cfg.decoder_config(), feats, end_token=end_token)
+        return greedy_decode_pallas(
+            params["decoder"], cfg.decoder_config(), feats,
+            end_token=end_token, vocab_sharded=vocab_sharded,
+        )
     return dec_mod.greedy_decode(params["decoder"], cfg.decoder_config(), feats, end_token=end_token)
 
 

@@ -123,6 +123,7 @@ def attn_greedy_decode_pallas(
     start_token: int,
     interpret: bool = None,
     end_token: "int | None" = None,
+    vocab_sharded: "bool | None" = None,
 ) -> jax.Array:
     """Greedy attention decode with the fused Pallas context kernel and
     the fused vocab projection+argmax kernel (rnn_attn.py:77-94
@@ -143,10 +144,14 @@ def attn_greedy_decode_pallas(
     att1 = precompute_att1(params["attn"], feats_pm).astype(dtype)
     # mp-sharded vocab projection keeps the XLA path (GSPMD's native
     # vocab-axis collectives); otherwise the fused kernel skips the
-    # [B, V] logits HBM round-trip.
-    from show_tell_tpu.ops import vocab_projection_is_sharded
+    # [B, V] logits HBM round-trip.  vocab_sharded: statically-known
+    # flag from jitted callers (inspecting traced params conservatively
+    # reports sharded; evaluation/tester.py passes the concrete answer).
+    if vocab_sharded is None:
+        from show_tell_tpu.ops import vocab_projection_is_sharded
 
-    vocab_kernel = not vocab_projection_is_sharded(params["linear"])
+        vocab_sharded = vocab_projection_is_sharded(params["linear"])
+    vocab_kernel = not vocab_sharded
     if vocab_kernel:
         vocab = prepare_vocab(params["linear"])  # padded ONCE, outside the scan
     state0 = _init_hidden(params, cfg, cnn_feature)

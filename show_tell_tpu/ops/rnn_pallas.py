@@ -225,6 +225,7 @@ def greedy_decode_pallas(
     cnn_feature: jax.Array,  # [B, E]
     interpret: bool = None,
     end_token: "int | None" = None,
+    vocab_sharded: "bool | None" = None,
 ) -> jax.Array:
     """Greedy decode (reference rnn.py:44-58 / rnn_lstm.py:35-55
     semantics) with the fully fused Pallas step: L-layer recurrence +
@@ -248,6 +249,12 @@ def greedy_decode_pallas(
         # shapes (H=512: GRU 6.3MB, LSTM 8.4MB) pass; f32 parity shapes
         # (GRU 12.6MB, LSTM 16.8MB) exceed the budget and keep the XLA
         # scan — which is also the measured-parity dtype path.
+        # (No batch-size gate here: under a dp mesh this function traces
+        # with the GLOBAL batch while the kernel's partition rule runs
+        # per-shard on the local batch — a global-B gate would disable
+        # the kernel exactly in the dp=8 serving configuration.  Batch
+        # blocking and VMEM safety for oversized local batches live in
+        # fused_step_pallas._pick_block_b + its row padding.)
         n_gates = 4 if cfg.cell_type == "lstm" else 3
         gates_bytes = 2 * 2 * cfg.hidden_dim * n_gates * cfg.hidden_dim * jnp.dtype(dtype).itemsize
         if gates_bytes > 12 * 1024 * 1024:
@@ -258,10 +265,15 @@ def greedy_decode_pallas(
     stacked = jax.tree.map(lambda w: w.astype(dtype), stacked)
     # mp-sharded vocab projection keeps the XLA path (GSPMD's native
     # vocab-axis collectives); otherwise the fused kernel skips the
-    # [B, V] logits HBM round-trip.
-    from show_tell_tpu.ops import vocab_projection_is_sharded
+    # [B, V] logits HBM round-trip.  vocab_sharded: statically-known
+    # sharding from the caller — a jitted caller must pass it, because
+    # inspecting traced params conservatively reports sharded (see
+    # decode/beam._sparse_projection; evaluation/tester.py passes it).
+    if vocab_sharded is None:
+        from show_tell_tpu.ops import vocab_projection_is_sharded
 
-    vocab_kernel = not vocab_projection_is_sharded(params["linear"])
+        vocab_sharded = vocab_projection_is_sharded(params["linear"])
+    vocab_kernel = not vocab_sharded
     if vocab_kernel:
         vocab = prepare_vocab(params["linear"])  # padded ONCE, outside the scan
     hs0 = jnp.zeros((cfg.num_layers, B, cfg.hidden_dim), dtype)

@@ -162,6 +162,12 @@ class Captioner:
         if beam_size not in self._jitted:
             cfg = self.cfg
 
+            # Beam retirement (and early_exit) key on the loaded vocab's
+            # actual <end> id — a foreign/legacy vocab need not use the
+            # builder's id 2 (review finding; the eval path threads the
+            # same id through make_test_step).
+            end_idx = self.vocab.word_to_index[self.vocab.end_token()]
+
             @jax.jit
             def run(images_u8):
                 images = preprocess_images(
@@ -174,21 +180,19 @@ class Captioner:
                     if cfg.is_attention:
                         return attn_beam_search_decode(
                             self.params["decoder"], cfg.decoder_config(), feats, beam_size,
-                            cfg.start_token, early_exit=self.early_exit,
+                            cfg.start_token, end_token=end_idx, early_exit=self.early_exit,
                         )
                     return beam_search_decode(
                         self.params["decoder"], cfg.decoder_config(), feats, beam_size,
-                        early_exit=self.early_exit,
+                        end_token=end_idx, early_exit=self.early_exit,
                     )
                 # early_exit routes to the shared while_loop engine inside
                 # the same dispatch; the measured-auto Pallas kernel policy
                 # applies identically either way (kernels trace under
                 # lax.while_loop like under scan).
-                end_idx = (
-                    self.vocab.word_to_index[self.vocab.end_token()] if self.early_exit else None
-                )
                 return captioner_greedy_decode(
-                    self.params, self.bn_state, cfg, images, end_token=end_idx
+                    self.params, self.bn_state, cfg, images,
+                    end_token=end_idx if self.early_exit else None,
                 )
 
             self._jitted[beam_size] = run

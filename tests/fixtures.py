@@ -152,8 +152,9 @@ def _load_reference_module(relpath, fake_names=(), setup=None, add_sys_path=None
 
     fakes = {name: types.ModuleType(name) for name in fake_names if name not in sys.modules}
     if setup is not None:
-        setup(fakes)
+        setup(fakes)  # may ADD fake entries that shadow real installed modules
     before = set(sys.modules)
+    shadowed = {name: sys.modules[name] for name in fakes if name in sys.modules}
     sys.modules.update(fakes)
     if add_sys_path:
         sys.path.insert(0, add_sys_path)
@@ -170,6 +171,7 @@ def _load_reference_module(relpath, fake_names=(), setup=None, add_sys_path=None
             sys.modules.pop(name, None)
         for name in fakes:
             sys.modules.pop(name, None)
+        sys.modules.update(shadowed)  # put real modules a fake displaced back
 
 
 def load_reference_rnn_module(relpath="rnn.py"):

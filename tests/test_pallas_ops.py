@@ -390,6 +390,41 @@ def test_vocab_projection_sharded_guard_safe_under_tracing():
     assert seen == [True]
 
 
+def test_vocab_sharded_flag_threads_through_jitted_step(monkeypatch):
+    """Inside a jitted eval step the params are Tracers, so the sharding
+    inspection conservatively reports sharded and would silently disable
+    the vocab/fused-step kernels (r3-continuation review finding).  The
+    fix: callers decide on concrete params and pass vocab_sharded — with
+    it the fused kernel must actually trace inside jit (counted); without
+    it the Tracer fallback must skip the kernel; ids identical both ways."""
+    import show_tell_tpu.ops.fused_step_pallas as fsp
+
+    calls = []
+    orig = fsp.fused_gru_decode_step_pallas
+    monkeypatch.setattr(
+        fsp, "fused_gru_decode_step_pallas", lambda *a, **k: calls.append(1) or orig(*a, **k)
+    )
+    B, E, H, L, V = 8, 16, 32, 2, 50
+    cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=6)
+    params = init_decoder_params(jax.random.PRNGKey(21), cfg)
+    feat = jnp.asarray(np.random.RandomState(22).randn(B, E).astype(np.float32))
+
+    with_flag = jax.jit(
+        lambda p, f: greedy_decode_pallas(p, cfg, f, interpret=True, vocab_sharded=False)
+    )(params, feat)
+    assert calls, "fused kernel did not trace despite vocab_sharded=False"
+
+    calls.clear()
+    without_flag = jax.jit(lambda p, f: greedy_decode_pallas(p, cfg, f, interpret=True))(
+        params, feat
+    )
+    assert not calls, "Tracer inspection should have fallen back to the XLA projection"
+
+    ref = greedy_decode(params, cfg, feat)
+    np.testing.assert_array_equal(np.asarray(with_flag), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(without_flag), np.asarray(ref))
+
+
 @pytest.mark.parametrize("cell", ["gru", "lstm"])
 def test_greedy_decode_pallas_early_exit_matches_xla(cell):
     """end_token (early-exit while_loop) around the Pallas step must be
