@@ -65,6 +65,15 @@ def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCO
     params = load_params(argv, variant=variant, data_source=data_source)
     data_source = params["data_source"]  # --data_source flag may override
     apply_device(params.get("device", "gpu"))
+    if params.get("multihost"):
+        # Must precede any backend-initializing call: after it,
+        # jax.devices() is the GLOBAL (all-hosts) topology and the dp
+        # mesh spans it (parallel/multihost.py).
+        from show_tell_tpu.parallel.multihost import initialize
+
+        initialize(params["multihost"])
+        print("Multi-host runtime: process %d of %d, %d global devices."
+              % (jax.process_index(), jax.process_count(), jax.device_count()))
     print("Parameters being used by the Model - ", params)
 
     vocab = get_vocabulary(data_source, params)

@@ -21,14 +21,14 @@ def device_prefetch(
 ) -> Iterator:
     """Yields batches with elements at ``put_indices`` placed on device
     one step ahead.  Non-array elements (e.g. path tuples) pass through."""
-    from show_tell_tpu.parallel.mesh import batch_sharding
+    from show_tell_tpu.parallel.mesh import batch_sharding, put_sharded
 
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     def put(batch):
         out = list(batch)
         for i in put_indices:
-            out[i] = jax.device_put(out[i], sharding) if sharding is not None else jax.device_put(out[i])
+            out[i] = put_sharded(out[i], sharding) if sharding is not None else jax.device_put(out[i])
         return tuple(out)
 
     it = iter(batches)

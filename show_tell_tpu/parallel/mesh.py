@@ -36,14 +36,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_sharded(x, sharding: NamedSharding):
+    """device_put that also works when the sharding spans PROCESSES
+    (multi-host, parallel/multihost.py).  Convention there: every
+    process passes the identical global value and contributes the rows
+    its addressable devices own (contiguous, because make_mesh lays the
+    mesh over jax.devices(), which groups devices by process)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    if sharding.is_fully_replicated:
+        local = x
+    else:
+        spans = {s[0] for s in sharding.addressable_devices_indices_map(x.shape).values()}
+        start = min(s.start or 0 for s in spans)
+        stop = max(x.shape[0] if s.stop is None else s.stop for s in spans)
+        local = x[start:stop]
+    return jax.make_array_from_process_local_data(sharding, local, global_shape=x.shape)
+
+
 def shard_batch(mesh: Mesh, *arrays):
     sh = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    out = tuple(put_sharded(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 
 def replicate(mesh: Mesh, tree):
-    return jax.device_put(tree, replicated(mesh))
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: put_sharded(x, sh), tree)
 
 
 def decoder_param_shardings(mesh: Mesh, trainable) -> Any:
@@ -81,6 +101,11 @@ def shard_train_state(mesh: Mesh, train_state, tensor_parallel: bool = False):
     per decoder_param_shardings), optimizer state sharded like its params."""
     if not tensor_parallel:
         return replicate(mesh, train_state)
+    if jax.process_count() > 1:
+        # mp traffic is per-decode-step (logit/softmax collectives) and
+        # belongs on ICI within one host; dp is the only axis that
+        # should cross DCN (parallel/multihost.py).
+        raise NotImplementedError("tensor parallelism (mp>1) is single-host only")
     t_sh = decoder_param_shardings(mesh, train_state.trainable)
 
     def put_like_params(subtree):

@@ -88,6 +88,17 @@ def train(
         mesh = make_mesh(dp=n_dev)
         ts = replicate(mesh, ts)
         print("Data-parallel over %d devices." % n_dev)
+    # Multi-host (parallel/multihost.py): every process runs this same
+    # loop over the same logical data stream; only process 0 touches the
+    # output dir (checkpoints, JSONL metrics, retention) — params are
+    # replicated, so its copy is the global state.
+    from show_tell_tpu.parallel.multihost import is_primary
+
+    primary = is_primary()
+    if jax.process_count() > 1:
+        print("Multi-host: process %d/%d (%s)." % (
+            jax.process_index(), jax.process_count(),
+            "primary - owns checkpoints/logs" if primary else "worker"))
 
     step = make_train_step(cfg, optimizer, augment=True)
 
@@ -157,7 +168,8 @@ def train(
                 if preempted["flag"]:
                     if tracing:
                         jax.profiler.stop_trace()
-                    create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
+                    if primary:
+                        create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
                     print("Preempted (SIGTERM): checkpoint saved at epoch %d step %d; resume with --resume_training 1 --resume_model_train auto." % (epoch + 1, idx + 1))
                     # Terminate, don't fall through: a preempted process must
                     # not continue into the test phase or a sweep's next run
@@ -165,33 +177,40 @@ def train(
                     # shell convention for a TERM death) so supervisors can
                     # tell a preempted half-run from a completed one.
                     raise SystemExit(143)
-                if (idx + 1) % 5000 == 0:
+                if (idx + 1) % 5000 == 0 and primary:
                     create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
                 if (idx + 1) % 500 == 0 or (idx + 1) == len(train_data_loader):
                     print(
                         "Epoch %d (Step %d) - %0.4f train loss, %0.2f time."
                         % (epoch + 1, idx + 1, train_loss[-1], time.time() - start_time)
                     )
-                    logger.log("train_step", step=idx + 1, epoch=epoch + 1, loss=train_loss[-1], timing=timer.summary())
+                    if primary:
+                        logger.log("train_step", step=idx + 1, epoch=epoch + 1, loss=train_loss[-1], timing=timer.summary())
             if tracing:  # epoch shorter than the 6-step trace window
                 jax.profiler.stop_trace()
                 tracing = False
             print("Epoch %d - %0.4f loss, %.2f time. " % (epoch + 1, np.mean(train_loss), time.time() - start_time))
-            logger.log(
-                "epoch",
-                step=idx + 1,
-                epoch=epoch + 1,
-                mean_loss=float(np.mean(train_loss)),
-                timing=timer.summary(),
-            )
+            if primary:
+                logger.log(
+                    "epoch",
+                    step=idx + 1,
+                    epoch=epoch + 1,
+                    mean_loss=float(np.mean(train_loss)),
+                    timing=timer.summary(),
+                )
+                create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
+                if params.get("keep_checkpoints", 0):
+                    from show_tell_tpu.train.checkpoint import prune_checkpoints
+
+                    prune_checkpoints(params["output_dir"], int(params["keep_checkpoints"]))
             timer.reset()
-            create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
-            if params.get("keep_checkpoints", 0):
-                from show_tell_tpu.train.checkpoint import prune_checkpoints
 
-                prune_checkpoints(params["output_dir"], int(params["keep_checkpoints"]))
-
-            if eval_every_epochs and (epoch + 1) % eval_every_epochs == 0 and test_data_loader is not None:
+            if eval_every_epochs and jax.process_count() > 1 and (epoch + 1) % eval_every_epochs == 0:
+                # The eval step would be a new global-mesh program; running
+                # it per-host on host-local batches would deadlock the
+                # collectives.  Evaluate checkpoints single-host instead.
+                print("Multi-host: skipping in-training eval (run the eval CLI on one host).")
+            elif eval_every_epochs and (epoch + 1) % eval_every_epochs == 0 and test_data_loader is not None:
                 from show_tell_tpu.evaluation.tester import test_model
 
                 print("Steps to be taken - %d\n" % params.get("sub_batch_test", 10))

@@ -1,0 +1,77 @@
+"""Subprocess driver for tests/test_multihost.py.
+
+One OS process of a 2-process multi-host run: 4 virtual CPU devices per
+process form a single dp=8 mesh; cross-process collectives ride Gloo
+(the CPU stand-in for DCN).  Runs 3 deterministic train steps through
+the REAL train-step machinery and prints a RESULT json line the test
+compares across processes and against the single-process dp=8 run.
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+       python multihost_driver.py <process_id> <coordinator_port>
+"""
+
+import json
+import sys
+
+
+def make_batch(rng, vocab_size, B=8, T=12, img=32):
+    """Identical to tests/test_train_step.make_batch (kept standalone so
+    the driver does not import the pytest module tree)."""
+    import numpy as np
+
+    images = rng.randint(0, 255, (B, img, img, 3), dtype=np.uint8)
+    lengths = np.sort(rng.randint(3, T + 1, B))[::-1].astype(np.int32)
+    captions = rng.randint(4, vocab_size, (B, T)).astype(np.int32)
+    for i, l in enumerate(lengths):
+        captions[i, l:] = 0
+        captions[i, 0] = 1
+        captions[i, l - 1] = 2
+    return images, captions, np.ascontiguousarray(lengths)
+
+
+def main():
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # before any backend call
+    from show_tell_tpu.parallel.multihost import initialize, is_primary
+
+    initialize("127.0.0.1:%s,2,%d" % (port, pid))
+    assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state, make_train_step
+
+    cfg = CaptionerConfig(
+        variant="gru", resnet_version=18, embed_dim=24, hidden_dim=32,
+        vocab_size=40, num_layers=2,
+    )
+    opt = make_optimizer("SGD", 0.01, 0.9)
+    step = make_train_step(cfg, opt, augment=False)
+    rng = np.random.RandomState(4)  # the SAME logical stream on every host
+    batches = [make_batch(rng, cfg.vocab_size) for _ in range(3)]
+
+    mesh = make_mesh(dp=8)
+    ts = replicate(mesh, create_train_state(jax.random.PRNGKey(5), cfg, opt))
+    losses = []
+    for images, captions, lengths in batches:
+        ts, loss = step(ts, *shard_batch(mesh, images, captions, lengths))
+        losses.append(float(loss))
+    checksum = float(
+        sum(float(jnp.sum(jnp.abs(x.astype(jnp.float32)))) for x in jax.tree.leaves(ts.trainable))
+    )
+    print(
+        "RESULT " + json.dumps(
+            {"pid": pid, "primary": is_primary(), "losses": losses, "checksum": checksum}
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Multi-host (multi-process) execution: a REAL 2-process run.
+
+The reference is strictly single-process (SURVEY §2.4); the framework's
+multi-host layer (parallel/multihost.py) must make the same dp-sharded
+train step span OS processes.  This test spawns two subprocesses with 4
+virtual CPU devices each; they form one dp=8 mesh whose collectives ride
+Gloo (the CPU stand-in for DCN), run 3 train steps through the real
+machinery, and must agree with each other AND with the single-process
+dp=8 run bit-for-bit up to cross-backend reduction tolerance.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from multihost_driver import make_batch  # tests/ is on sys.path under pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference():
+    import jax.numpy as jnp
+
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state, make_train_step
+
+    cfg = CaptionerConfig(
+        variant="gru", resnet_version=18, embed_dim=24, hidden_dim=32,
+        vocab_size=40, num_layers=2,
+    )
+    opt = make_optimizer("SGD", 0.01, 0.9)
+    step = make_train_step(cfg, opt, augment=False)
+    rng = np.random.RandomState(4)
+    batches = [make_batch(rng, cfg.vocab_size) for _ in range(3)]
+    mesh = make_mesh(dp=8)
+    ts = replicate(mesh, create_train_state(jax.random.PRNGKey(5), cfg, opt))
+    losses = []
+    for images, captions, lengths in batches:
+        ts, loss = step(ts, *shard_batch(mesh, images, captions, lengths))
+        losses.append(float(loss))
+    checksum = float(
+        sum(float(jnp.sum(jnp.abs(x.astype(jnp.float32)))) for x in jax.tree.leaves(ts.trainable))
+    )
+    return losses, checksum
+
+
+def test_two_process_dp8_matches_single_process():
+    assert len(jax.devices()) >= 8
+    ref_losses, ref_checksum = _single_process_reference()
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    driver = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_driver.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, driver, str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost subprocess timed out")
+        outs.append(out)
+        assert p.returncode == 0, out
+
+    results = {}
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out
+        r = json.loads(lines[-1][len("RESULT "):])
+        results[r["pid"]] = r
+
+    assert results[0]["primary"] is True and results[1]["primary"] is False
+    # the two processes run ONE program: identical losses and params
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"], rtol=0, atol=0)
+    assert results[0]["checksum"] == results[1]["checksum"]
+    # and it reproduces the single-process dp=8 step (Gloo vs single-
+    # process reductions may differ in the last ulps)
+    np.testing.assert_allclose(results[0]["losses"], ref_losses, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results[0]["checksum"], ref_checksum, rtol=1e-5)
