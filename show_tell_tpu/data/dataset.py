@@ -183,6 +183,7 @@ class DataLoader:
         pad_length: int = DEFAULT_PAD_LENGTH,
         seed: int = 1,
         prefetch: int = 2,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -191,6 +192,15 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.pad_length = pad_length
         self.prefetch = prefetch
+        # (process_id, num_processes): multi-host mode.  Every host walks
+        # the same shuffled index stream (same seed) but DECODES only its
+        # 1/Nth of each batch; captions/lengths/paths stay global (they
+        # are metadata — no decode).  batch_size must divide evenly.
+        if process_shard is not None and batch_size % process_shard[1]:
+            raise ValueError(
+                "batch_size %d does not divide over %d processes" % (batch_size, process_shard[1])
+            )
+        self.process_shard = process_shard
         self._rng = np.random.RandomState(seed)
         # One decode pool per loader, shared across epochs (__iter__ calls);
         # long in-process sweeps must not accumulate thread pools.
@@ -230,12 +240,48 @@ class DataLoader:
         return [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
 
     def _load_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
+        if self.process_shard is not None:
+            return self._load_batch_sharded(idxs, pool)
         ds = self.dataset
         if getattr(ds, "use_native_decode", False) and native_fastimage.is_available():
             samples = self._load_batch_native(idxs, pool)
         else:
             samples = list(pool.map(ds.__getitem__, idxs))
         return create_batch(samples, self.pad_length)
+
+    def _load_batch_sharded(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
+        """Multi-host batch: global sort + captions from metadata (cheap),
+        image decode only for this process's slice of the sorted batch.
+
+        The sort must reproduce ``create_batch`` EXACTLY (Python's stable
+        sort, descending length) so every host agrees on the global row
+        order; the local slice is then contiguous rows [lo, hi) of it —
+        the rows this host's mesh devices own (mesh.put_sharded
+        local_rows=True).  Returns (paths_global, images_LOCAL,
+        captions_global, lengths_global)."""
+        pid, nproc = self.process_shard
+        ds = self.dataset
+        metas = [ds.sample_meta(int(i)) for i in idxs]
+        order = sorted(range(len(metas)), key=lambda k: len(metas[k][1]), reverse=True)
+        B = len(order)
+        lo, hi = pid * B // nproc, (pid + 1) * B // nproc
+        local_idxs = np.asarray([int(idxs[k]) for k in order[lo:hi]])
+        if getattr(ds, "use_native_decode", False) and native_fastimage.is_available():
+            samples = self._load_batch_native(local_idxs, pool)
+        else:
+            samples = list(pool.map(ds.__getitem__, local_idxs))
+        images = np.stack([s[1] for s in samples], 0)  # already in global-sorted order
+
+        pad = self.pad_length
+        caps = [metas[k][1] for k in order]
+        lengths = np.array([min(len(c), pad) if pad else len(c) for c in caps], dtype=np.int32)
+        T = pad if pad else int(lengths.max())
+        target = np.zeros((B, T), dtype=np.int32)
+        for i, cap in enumerate(caps):
+            L = lengths[i]
+            target[i, :L] = cap[:L]
+        paths = tuple(metas[k][0] for k in order)
+        return paths, images, target, lengths
 
     def _load_batch_native(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
         """Batch path through the native decoder: one GIL-free threaded
@@ -342,6 +388,22 @@ def get_data_loader(vocab, params: Dict[str, Any], run_type: str) -> DataLoader:
             params["ann_path_train"], params["data_path_train"], vocab, train=True,
             fast_jpeg=fast_jpeg, image_cache=cache_for("train"),
         )
+        # Multi-host: decode only this process's 1/Nth of every batch.
+        # Requires the dp mesh to actually form over ALL global devices
+        # (mirrors train/loop.py's mesh condition) so the locally-decoded
+        # rows are exactly the rows this host's devices own; any other
+        # configuration keeps the simple identical-global-batch mode.
+        process_shard = None
+        if params.get("multihost"):
+            import jax
+
+            n_dev = params.get("dp", 0) or jax.device_count()
+            if (
+                jax.process_count() > 1
+                and n_dev == jax.device_count()
+                and params["batch_size"] % n_dev == 0
+            ):
+                process_shard = (jax.process_index(), jax.process_count())
         return DataLoader(
             dataset,
             batch_size=params["batch_size"],
@@ -350,6 +412,7 @@ def get_data_loader(vocab, params: Dict[str, Any], run_type: str) -> DataLoader:
             num_workers=params.get("num_workers", 0),
             pad_length=params.get("pad_length", DEFAULT_PAD_LENGTH),
             seed=params.get("seed", 1),
+            process_shard=process_shard,
         )
     elif run_type == "test":
         dataset = MSCOCO(

@@ -18,9 +18,13 @@ def device_prefetch(
     batches: Iterable,
     mesh=None,
     put_indices: Tuple[int, ...] = (1, 2, 3),
+    local_indices: Tuple[int, ...] = (),
 ) -> Iterator:
     """Yields batches with elements at ``put_indices`` placed on device
-    one step ahead.  Non-array elements (e.g. path tuples) pass through."""
+    one step ahead.  Non-array elements (e.g. path tuples) pass through.
+    local_indices: elements that hold ONLY this process's rows (the
+    multi-host process-sharded loader's images) — assembled into the
+    global array via mesh.put_sharded(local_rows=True)."""
     from show_tell_tpu.parallel.mesh import batch_sharding, put_sharded
 
     sharding = batch_sharding(mesh) if mesh is not None else None
@@ -28,7 +32,11 @@ def device_prefetch(
     def put(batch):
         out = list(batch)
         for i in put_indices:
-            out[i] = put_sharded(out[i], sharding) if sharding is not None else jax.device_put(out[i])
+            out[i] = (
+                put_sharded(out[i], sharding, local_rows=i in local_indices)
+                if sharding is not None
+                else jax.device_put(out[i])
+            )
         return tuple(out)
 
     it = iter(batches)

@@ -36,15 +36,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def put_sharded(x, sharding: NamedSharding):
+def put_sharded(x, sharding: NamedSharding, local_rows: bool = False):
     """device_put that also works when the sharding spans PROCESSES
     (multi-host, parallel/multihost.py).  Convention there: every
     process passes the identical global value and contributes the rows
     its addressable devices own (contiguous, because make_mesh lays the
-    mesh over jax.devices(), which groups devices by process)."""
+    mesh over jax.devices(), which groups devices by process).
+
+    local_rows=True: ``x`` holds ONLY this process's rows (equal share
+    of the leading axis) — the process-sharded loader's images path,
+    which decodes 1/Nth of each batch per host instead of all of it."""
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
     x = np.asarray(x)
+    if local_rows and not sharding.is_fully_replicated:
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape=global_shape)
     if sharding.is_fully_replicated:
         local = x
     else:

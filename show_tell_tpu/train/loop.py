@@ -146,7 +146,13 @@ def train(
             # ahead, overlapping H2D transfer with the previous step's compute.
             from show_tell_tpu.data.device_prefetch import device_prefetch
 
-            loader_iter = device_prefetch(train_data_loader, mesh=mesh)
+            loader_iter = device_prefetch(
+                train_data_loader,
+                mesh=mesh,
+                # process-sharded loader (multi-host): images hold only
+                # this host's rows of each batch
+                local_indices=(1,) if getattr(train_data_loader, "process_shard", None) else (),
+            )
             while True:
                 with timer.stage("data"):
                     batch = next(loader_iter, None)

@@ -57,17 +57,37 @@ def main():
     batches = [make_batch(rng, cfg.vocab_size) for _ in range(3)]
 
     mesh = make_mesh(dp=8)
-    ts = replicate(mesh, create_train_state(jax.random.PRNGKey(5), cfg, opt))
-    losses = []
+    ts0 = replicate(mesh, create_train_state(jax.random.PRNGKey(5), cfg, opt))
+
+    ts, losses = ts0, []
     for images, captions, lengths in batches:
         ts, loss = step(ts, *shard_batch(mesh, images, captions, lengths))
         losses.append(float(loss))
     checksum = float(
         sum(float(jnp.sum(jnp.abs(x.astype(jnp.float32)))) for x in jax.tree.leaves(ts.trainable))
     )
+
+    # Same steps again through the process-sharded (local-rows) input
+    # path: each host contributes ONLY its slice of the image batch
+    # (mesh.put_sharded local_rows=True — what the multi-host loader
+    # emits).  Must reproduce the identical-global-batch losses exactly.
+    from show_tell_tpu.parallel.mesh import batch_sharding, put_sharded
+
+    sh = batch_sharding(mesh)
+    ts, losses_local = ts0, []
+    for images, captions, lengths in batches:
+        B = images.shape[0]
+        lo, hi = pid * B // 2, (pid + 1) * B // 2
+        gi = put_sharded(images[lo:hi], sh, local_rows=True)
+        gc = put_sharded(captions, sh)
+        gl = put_sharded(lengths, sh)
+        ts, loss = step(ts, gi, gc, gl)
+        losses_local.append(float(loss))
+
     print(
         "RESULT " + json.dumps(
-            {"pid": pid, "primary": is_primary(), "losses": losses, "checksum": checksum}
+            {"pid": pid, "primary": is_primary(), "losses": losses,
+             "checksum": checksum, "losses_local": losses_local}
         ),
         flush=True,
     )

@@ -424,3 +424,39 @@ def test_csv_unquote_contract():
     assert _csv_unquote('"unbalanced start') == '"unbalanced start'
     assert _csv_unquote('"inner " lone quote"') == '"inner " lone quote"'
     assert _csv_unquote('"') == '"'
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_process_sharded_loader_reassembles_global_batch(tmp_path, native):
+    """Multi-host loader mode (DataLoader process_shard=(pid, nproc)):
+    every process walks the same shuffled stream, decodes only its slice
+    of each batch, and the concatenated local images + global
+    captions/lengths/paths must bit-equal the unsharded loader's batch
+    (incl. create_batch's exact stable descending-length sort)."""
+    from fixtures import build_mini_coco, mini_params
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.native import fastimage as native_fastimage
+    from show_tell_tpu.vocab import get_vocabulary
+
+    if native and not native_fastimage.is_available():
+        pytest.skip("native decoder not built")
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"))
+    vocab = get_vocabulary("MSCOCO", params)
+
+    def make_loader(shard):
+        ds = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab)
+        ds.use_native_decode = native
+        return DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=7,
+                          process_shard=shard)
+
+    ref_batches = list(make_loader(None))
+    shard_batches = [list(make_loader((pid, 2))) for pid in (0, 1)]
+    assert len(ref_batches) == len(shard_batches[0]) == len(shard_batches[1])
+    for (paths, images, captions, lengths), b0, b1 in zip(ref_batches, *shard_batches):
+        for b in (b0, b1):  # metadata is global and identical everywhere
+            assert b[0] == paths
+            np.testing.assert_array_equal(b[2], captions)
+            np.testing.assert_array_equal(b[3], lengths)
+        np.testing.assert_array_equal(np.concatenate([b0[1], b1[1]], axis=0), images)
+        assert b0[1].shape[0] == b1[1].shape[0] == images.shape[0] // 2

@@ -103,3 +103,8 @@ def test_two_process_dp8_matches_single_process():
     # process reductions may differ in the last ulps)
     np.testing.assert_allclose(results[0]["losses"], ref_losses, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(results[0]["checksum"], ref_checksum, rtol=1e-5)
+    # the process-sharded (local-rows) input path — what the multi-host
+    # loader emits — must reproduce the identical-global-batch losses
+    np.testing.assert_allclose(
+        results[0]["losses_local"], results[0]["losses"], rtol=1e-6, atol=1e-7
+    )
