@@ -47,8 +47,19 @@ def create_checkpoint(
     ``params['ckpt_format']`` selects the backend: ``pickle`` (default,
     reference-compatible single file) or ``orbax`` (TensorStore-backed
     ``model_<epoch>.orbax/`` directory — the TPU-idiomatic path, handles
-    sharded arrays natively at multi-chip scale)."""
-    if params.get("ckpt_format", "pickle") == "orbax":
+    sharded arrays natively at multi-chip scale).
+
+    Multi-host (parallel/multihost.py): only process 0 calls this, with
+    replicated params — the pickle path is used regardless of
+    ckpt_format, because orbax's distributed-save protocol expects every
+    process to participate (a one-process save of multi-process arrays
+    would deadlock its coordination; with replicated params the pickle
+    file is the identical global state anyway)."""
+    import jax
+
+    if params.get("ckpt_format", "pickle") == "orbax" and jax.process_count() > 1:
+        print("Multi-host: ckpt_format=orbax falls back to pickle (process-0 save of replicated params).")
+    if params.get("ckpt_format", "pickle") == "orbax" and jax.process_count() == 1:
         model_file = _create_checkpoint_orbax(train_state, epoch, step, params, extra)
     else:
         model_file = os.path.join(params["output_dir"], "model_%d.ckpt" % epoch)

@@ -498,3 +498,38 @@ def test_serve_cli_attention_dims(tmp_path, capsys):
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     assert len(lines) == 1 and lines[0].split("\t")[0] == img
+
+
+def test_serve_beam_uses_vocab_end_token(trained):
+    """Beam retirement must key on the LOADED vocab's <end> id, not the
+    builder's default 2 (r3-continuation review): with a remapped vocab
+    whose <end> sits elsewhere, the beam must retire on that id and pad
+    after it — and early_exit must terminate on it."""
+    data_root, out_dir = trained
+    kw = dict(variant="gru", resnet_version=18, embed_dim=16, hidden_dim=24,
+              num_layers=1, compute_dtype="float32")
+    base = Captioner.from_checkpoint(
+        os.path.join(out_dir, "model_1.ckpt"), os.path.join(out_dir, "vocab.pkl"), **kw)
+
+    # a "foreign" vocab: same words, <end> moved to id 5 (swap with the
+    # word currently at 5); bias the projection so id 5 is argmax-ish.
+    import copy
+
+    vocab = copy.deepcopy(base.vocab)
+    end_word, other = vocab.end_token(), vocab.index_to_word[5]
+    vocab.word_to_index[end_word], vocab.word_to_index[other] = 5, 2
+    vocab.index_to_word[5], vocab.index_to_word[2] = end_word, other
+
+    import jax.numpy as jnp
+
+    params = copy.deepcopy(jax.tree.map(np.asarray, base.params))
+    params["decoder"]["linear"]["b"][5] += 50.0  # every step argmaxes to 5
+    params = jax.tree.map(jnp.asarray, params)
+    cap = Captioner(params, base.bn_state, base.cfg, vocab,
+                    compute_dtype="float32", early_exit=True)
+    images = np.random.RandomState(3).randint(0, 255, (2, 224, 224, 3), dtype=np.uint8)
+    ids = cap.caption_ids(images, beam_size=2)
+    # first emitted token is the new <end>: beams retire there, pad after
+    assert (ids[:, 0] == 5).all(), ids[:, :4]
+    assert (ids[:, 1:] == 0).all(), ids[:, :4]
+    assert cap.caption(images, beam_size=2) == ["", ""]
