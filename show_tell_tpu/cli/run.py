@@ -21,20 +21,25 @@ from show_tell_tpu.train.train_step import create_train_state
 from show_tell_tpu.vocab.vocabulary import get_vocabulary
 
 
-def apply_device(device: str) -> None:
+def apply_device(device: str, check_backend: bool = True) -> None:
     """Honor ``--device`` (reference main.py:62,104-113 places on cpu/gpu).
 
     ``cpu`` forces the JAX CPU backend — must run before the backend
     initializes (see tests/conftest.py for the same pattern).  ``gpu`` and
     ``tpu`` both mean "the default accelerator": the reference's ``.cuda()``
     placement maps to whatever accelerator JAX sees, so they are aliases.
+
+    ``check_backend=False`` skips the did-it-take verification, which
+    itself initializes the backend — required before
+    ``jax.distributed.initialize`` (``--multihost``), which must run
+    while NO backend exists; run() re-checks after that.
     """
     if device == "cpu":
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # backend already initialized
             pass
-        if jax.default_backend() != "cpu":
+        if check_backend and jax.default_backend() != "cpu":
             print("Warning: --device cpu requested but the %s backend was already initialized." % jax.default_backend())
     elif device not in ("gpu", "tpu"):
         raise ValueError("Please specify a valid device - gpu/cpu/tpu. %s doesn't exist." % (device,))
@@ -64,16 +69,22 @@ def _init_from_backbone(path: str, cfg, seed: int):
 def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCOCO") -> Dict[str, Any]:
     params = load_params(argv, variant=variant, data_source=data_source)
     data_source = params["data_source"]  # --data_source flag may override
-    apply_device(params.get("device", "gpu"))
-    if params.get("multihost"):
+    multihost = params.get("multihost")
+    # --device must only set config before --multihost init: its backend
+    # verification would itself initialize a backend, and
+    # jax.distributed.initialize refuses to run after that.
+    apply_device(params.get("device", "gpu"), check_backend=not multihost)
+    if multihost:
         # Must precede any backend-initializing call: after it,
         # jax.devices() is the GLOBAL (all-hosts) topology and the dp
         # mesh spans it (parallel/multihost.py).
         from show_tell_tpu.parallel.multihost import initialize
 
-        initialize(params["multihost"])
+        initialize(multihost)
         print("Multi-host runtime: process %d of %d, %d global devices."
               % (jax.process_index(), jax.process_count(), jax.device_count()))
+        if params.get("device") == "cpu" and jax.default_backend() != "cpu":
+            print("Warning: --device cpu requested but the %s backend was already initialized." % jax.default_backend())
     print("Parameters being used by the Model - ", params)
 
     vocab = get_vocabulary(data_source, params)

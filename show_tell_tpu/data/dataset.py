@@ -146,6 +146,29 @@ class MSCOCO:
         return image_path, image, caption
 
 
+def _descending_length_order(captions: Sequence[List[int]]) -> List[int]:
+    """The collate sort (stable, descending untruncated caption length)
+    as an index permutation — shared by create_batch and the multi-host
+    process-sharded loader so the two can never drift (every host must
+    agree on the global row order down to tie-breaks)."""
+    return sorted(range(len(captions)), key=lambda k: len(captions[k]), reverse=True)
+
+
+def _collate_captions(
+    captions: Sequence[List[int]], pad_length: Optional[int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-pad (already-sorted) captions to the static pad_length (or
+    the batch max when None); lengths are clamped to the pad target.
+    Shared by create_batch and the process-sharded loader."""
+    lengths = np.array([min(len(c), pad_length) if pad_length else len(c) for c in captions], dtype=np.int32)
+    T = pad_length if pad_length else int(lengths.max())
+    target = np.zeros((len(captions), T), dtype=np.int32)
+    for i, cap in enumerate(captions):
+        L = lengths[i]
+        target[i, :L] = cap[:L]
+    return target, lengths
+
+
 def create_batch(
     samples: Sequence[Tuple[str, np.ndarray, List[int]]],
     pad_length: Optional[int] = DEFAULT_PAD_LENGTH,
@@ -158,15 +181,11 @@ def create_batch(
     Returns (paths, images uint8 [B,H,W,3], captions int32 [B,T],
     lengths int32 [B]).
     """
-    samples = sorted(samples, key=lambda x: len(x[2]), reverse=True)
+    order = _descending_length_order([s[2] for s in samples])
+    samples = [samples[k] for k in order]
     paths, images, captions = zip(*samples)
     images = np.stack(images, 0)
-    lengths = np.array([min(len(c), pad_length) if pad_length else len(c) for c in captions], dtype=np.int32)
-    T = pad_length if pad_length else int(lengths.max())
-    target = np.zeros((len(captions), T), dtype=np.int32)
-    for i, cap in enumerate(captions):
-        L = lengths[i]
-        target[i, :L] = cap[:L]
+    target, lengths = _collate_captions(captions, pad_length)
     return paths, images, target, lengths
 
 
@@ -244,7 +263,7 @@ class DataLoader:
             return self._load_batch_sharded(idxs, pool)
         ds = self.dataset
         if getattr(ds, "use_native_decode", False) and native_fastimage.is_available():
-            samples = self._load_batch_native(idxs, pool)
+            samples = self._load_batch_native([ds.sample_meta(int(i)) for i in idxs], pool)
         else:
             samples = list(pool.map(ds.__getitem__, idxs))
         return create_batch(samples, self.pad_length)
@@ -253,43 +272,41 @@ class DataLoader:
         """Multi-host batch: global sort + captions from metadata (cheap),
         image decode only for this process's slice of the sorted batch.
 
-        The sort must reproduce ``create_batch`` EXACTLY (Python's stable
-        sort, descending length) so every host agrees on the global row
-        order; the local slice is then contiguous rows [lo, hi) of it —
-        the rows this host's mesh devices own (mesh.put_sharded
-        local_rows=True).  Returns (paths_global, images_LOCAL,
-        captions_global, lengths_global)."""
+        The sort and caption padding are create_batch's own helpers
+        (_descending_length_order / _collate_captions) so every host's
+        global row order is the single-host order by construction; the
+        local slice is then contiguous rows [lo, hi) of it — the rows
+        this host's mesh devices own (mesh.put_sharded local_rows=True).
+        Returns (paths_global, images_LOCAL, captions_global,
+        lengths_global)."""
         pid, nproc = self.process_shard
         ds = self.dataset
         metas = [ds.sample_meta(int(i)) for i in idxs]
-        order = sorted(range(len(metas)), key=lambda k: len(metas[k][1]), reverse=True)
+        order = _descending_length_order([m[1] for m in metas])
         B = len(order)
         lo, hi = pid * B // nproc, (pid + 1) * B // nproc
-        local_idxs = np.asarray([int(idxs[k]) for k in order[lo:hi]])
+        # Decode straight from the metas in hand (not via __getitem__,
+        # which would tokenize every local caption a second time).
+        local_metas = [metas[k] for k in order[lo:hi]]
         if getattr(ds, "use_native_decode", False) and native_fastimage.is_available():
-            samples = self._load_batch_native(local_idxs, pool)
+            samples = self._load_batch_native(local_metas, pool)
+            images = np.stack([s[1] for s in samples], 0)  # already in global-sorted order
         else:
-            samples = list(pool.map(ds.__getitem__, local_idxs))
-        images = np.stack([s[1] for s in samples], 0)  # already in global-sorted order
+            images = np.stack(list(pool.map(lambda m: ds._load_image(m[0]), local_metas)), 0)
 
-        pad = self.pad_length
         caps = [metas[k][1] for k in order]
-        lengths = np.array([min(len(c), pad) if pad else len(c) for c in caps], dtype=np.int32)
-        T = pad if pad else int(lengths.max())
-        target = np.zeros((B, T), dtype=np.int32)
-        for i, cap in enumerate(caps):
-            L = lengths[i]
-            target[i, :L] = cap[:L]
+        target, lengths = _collate_captions(caps, self.pad_length)
         paths = tuple(metas[k][0] for k in order)
         return paths, images, target, lengths
 
-    def _load_batch_native(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
+    def _load_batch_native(self, metas: List[Tuple[str, List[int]]], pool: ThreadPoolExecutor):
         """Batch path through the native decoder: one GIL-free threaded
         C++ call decodes+resizes the whole batch (native/fastimage.cpp
         st_decode_resize_batch) instead of one Python->C round trip per
-        image; non-JPEG/corrupt files fall back to PIL individually."""
+        image; non-JPEG/corrupt files fall back to PIL individually.
+        Takes (path, caption) metas so callers that already hold them
+        (the process-sharded loader) don't tokenize twice."""
         ds = self.dataset
-        metas = [ds.sample_meta(int(i)) for i in idxs]
 
         cache = ds.image_cache
         cached: Dict[int, np.ndarray] = {}

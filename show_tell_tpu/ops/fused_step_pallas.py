@@ -142,21 +142,24 @@ def _fused_lstm_kernel(
 
 
 def _pick_block_b(B: int) -> int:
-    """Batch block: whole batch up to 512, else 512-row blocks (callers
-    pad B > 512 up to a 512 multiple — _pad_rows).  Splitting the batch
-    re-streams every weight block once per batch block, which costs more
-    than it saves — measured at B=512 bf16 serving shapes: whole-batch
-    6.88ms vs 7.30ms split-256 vs 9.14ms split-128 (XLA scan 7.40ms) —
-    and whole-batch blocks are VMEM-validated only through B=512, so
-    oversized batches split at 512 (correct, though at those sizes the
-    XLA scan may be preferable; the serving knee is B=512/chip and under
-    a dp mesh this sees the per-shard batch, so real configurations stay
-    on the whole-batch fast path)."""
+    """Batch block: whole batch up to 512, else 512-row blocks (the raw
+    fns pad B > 512 up to a 512 multiple — _pad_rows).  Splitting the
+    batch re-streams every weight block once per batch block, which costs
+    more than it saves — measured at B=512 bf16 serving shapes:
+    whole-batch 6.88ms vs 7.30ms split-256 vs 9.14ms split-128 (XLA scan
+    7.40ms) — and whole-batch blocks are VMEM-validated only through
+    B=512, so oversized batches split at 512 (correct, though at those
+    sizes the XLA scan may be preferable; the serving knee is B=512/chip
+    and under a dp mesh this sees the per-shard batch, so real
+    configurations stay on the whole-batch fast path)."""
     return B if B <= 512 else 512
 
 
 def _pad_rows(B: int) -> int:
     """Rows to append so B > 512 splits evenly into 512-row blocks.
+    Applied INSIDE the raw (per-shard) functions: under GSPMD each shard
+    sees its own local B, which need not be a 512 multiple even when the
+    global batch is one (e.g. global 1536 over dp=2 -> 768/shard).
     Padded rows are independent batch rows of zeros (finite gate math,
     no NaN hazard) and are sliced off the outputs."""
     return (-B) % 512 if B > 512 else 0
@@ -164,13 +167,18 @@ def _pad_rows(B: int) -> int:
 
 def _fused_gru_raw(x, w_ih, w_hh, b_ih, b_hh, hs, wv, bv, *, block_v, interpret):
     L, B, H = hs.shape
+    pad = _pad_rows(B)
+    if pad:  # keep every batch block inside the VMEM-validated 512-row envelope
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
+        new_hs, tok = _fused_gru_raw(x, w_ih, w_hh, b_ih, b_hh, hs, wv, bv,
+                                     block_v=block_v, interpret=interpret)
+        return new_hs[:, :B], tok[:B]
     GH = 3 * H
     Vpad = wv.shape[1]
     assert Vpad % block_v == 0, (Vpad, block_v)
     n_blocks = Vpad // block_v
     block_b = _pick_block_b(B)
-    if B % block_b:  # odd per-shard batch under a mesh: one whole block
-        block_b = B
     lyr = lambda bb, t: (jnp.minimum(t, L - 1), bb, 0)
 
     new_hs, tok = pl.pallas_call(
@@ -206,13 +214,19 @@ def _fused_gru_raw(x, w_ih, w_hh, b_ih, b_hh, hs, wv, bv, *, block_v, interpret)
 
 def _fused_lstm_raw(x, w_ih, w_hh, b_ih, b_hh, hs, cs, wv, bv, *, block_v, interpret):
     L, B, H = hs.shape
+    pad = _pad_rows(B)
+    if pad:  # keep every batch block inside the VMEM-validated 512-row envelope
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
+        cs = jnp.pad(cs, ((0, 0), (0, pad), (0, 0)))
+        new_hs, new_cs, tok = _fused_lstm_raw(x, w_ih, w_hh, b_ih, b_hh, hs, cs, wv, bv,
+                                              block_v=block_v, interpret=interpret)
+        return new_hs[:, :B], new_cs[:, :B], tok[:B]
     GH = 4 * H
     Vpad = wv.shape[1]
     assert Vpad % block_v == 0, (Vpad, block_v)
     n_blocks = Vpad // block_v
     block_b = _pick_block_b(B)
-    if B % block_b:  # odd per-shard batch under a mesh: one whole block
-        block_b = B
     lyr = lambda bb, t: (jnp.minimum(t, L - 1), bb, 0)
 
     new_hs, new_cs, tok = pl.pallas_call(
@@ -288,18 +302,18 @@ def fused_gru_decode_step_pallas(
     block_v: int = VOCAB_BLOCK,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One fused greedy decode step.  Returns (tok [B] int32, new_hs)."""
+    """One fused greedy decode step.  Returns (tok [B] int32, new_hs).
+
+    Oversized batches (> 512 rows) are padded to a 512-row multiple
+    INSIDE the per-shard raw function — under a dp mesh each shard sees
+    its own local batch, so padding here at the global level would not
+    keep per-shard blocks inside the VMEM envelope."""
     x = _pad_input(x, hs.shape[2], hs.dtype)
-    B = hs.shape[1]
-    pad = _pad_rows(B)
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-        hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
     new_hs, tok = _partitioned("gru", block_v, interpret)(
         x, stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"], hs,
         vocab["w"], vocab["b"],
     )
-    return (tok[:B], new_hs[:, :B]) if pad else (tok, new_hs)
+    return tok, new_hs
 
 
 def fused_lstm_decode_step_pallas(
@@ -311,16 +325,11 @@ def fused_lstm_decode_step_pallas(
     block_v: int = VOCAB_BLOCK,
     interpret: bool = False,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
-    """One fused greedy decode step.  Returns (tok [B] int32, (hs, cs))."""
+    """One fused greedy decode step.  Returns (tok [B] int32, (hs, cs)).
+    Row padding happens per-shard inside the raw fn — see the GRU twin."""
     x = _pad_input(x, hs.shape[2], hs.dtype)
-    B = hs.shape[1]
-    pad = _pad_rows(B)
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-        hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
-        cs = jnp.pad(cs, ((0, 0), (0, pad), (0, 0)))
     new_hs, new_cs, tok = _partitioned("lstm", block_v, interpret)(
         x, stacked["w_ih"], stacked["w_hh"], stacked["b_ih"], stacked["b_hh"], hs, cs,
         vocab["w"], vocab["b"],
     )
-    return (tok[:B], (new_hs[:, :B], new_cs[:, :B])) if pad else (tok, (new_hs, new_cs))
+    return tok, (new_hs, new_cs)

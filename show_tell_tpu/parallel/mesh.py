@@ -24,6 +24,19 @@ def make_mesh(dp: int = 0, mp: int = 1, devices: Optional[Sequence] = None) -> M
     if dp <= 0:
         dp = len(devices) // mp
     devs = np.array(devices[: dp * mp]).reshape(dp, mp)
+    if jax.process_count() > 1:
+        # Multi-host meshes must span every process: a process whose
+        # devices all fell off the dp*mp prefix has zero addressable
+        # shards, put_sharded/make_array_from_process_local_data fail
+        # obscurely there, and the remaining processes hang in their
+        # first collective waiting for it.  Reject up front.
+        procs = {d.process_index for d in devs.flat}
+        if len(procs) != jax.process_count():
+            raise ValueError(
+                "multi-host mesh (dp=%d, mp=%d) covers only processes %s of %d; "
+                "every process must own mesh devices — use dp*mp == jax.device_count() "
+                "(= %d) or run single-host" % (dp, mp, sorted(procs), jax.process_count(), jax.device_count())
+            )
     return Mesh(devs, ("dp", "mp"))
 
 
@@ -56,6 +69,11 @@ def put_sharded(x, sharding: NamedSharding, local_rows: bool = False):
         local = x
     else:
         spans = {s[0] for s in sharding.addressable_devices_indices_map(x.shape).values()}
+        if not spans:
+            raise ValueError(
+                "put_sharded: this process owns no devices of the sharding's mesh "
+                "(multi-host meshes must span every process — see make_mesh)"
+            )
         start = min(s.start or 0 for s in spans)
         stop = max(x.shape[0] if s.stop is None else s.stop for s in spans)
         local = x[start:stop]

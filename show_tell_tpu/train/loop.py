@@ -85,9 +85,15 @@ def train(
     n_dev = params.get("dp", 0) or len(jax.devices())
     mesh = None
     if n_dev > 1 and params["batch_size"] % n_dev == 0:
-        mesh = make_mesh(dp=n_dev)
+        mesh = make_mesh(dp=n_dev)  # multi-host: raises unless it spans every process
         ts = replicate(mesh, ts)
         print("Data-parallel over %d devices." % n_dev)
+    elif jax.process_count() > 1:
+        # Meshless multi-host: every process runs the identical full-batch
+        # step on its own first device — correct (same data stream, same
+        # updates) but pure duplicate work; almost certainly a misconfig.
+        print("Warning: multi-host run without a mesh (dp=%d, batch_size=%d); "
+              "every process duplicates the full step." % (n_dev, params["batch_size"]))
     # Multi-host (parallel/multihost.py): every process runs this same
     # loop over the same logical data stream; only process 0 touches the
     # output dir (checkpoints, JSONL metrics, retention) — params are
@@ -176,7 +182,13 @@ def train(
                         jax.profiler.stop_trace()
                     if primary:
                         create_checkpoint(ts, epoch + 1, idx + 1, train_loss, params)
-                    print("Preempted (SIGTERM): checkpoint saved at epoch %d step %d; resume with --resume_training 1 --resume_model_train auto." % (epoch + 1, idx + 1))
+                        print("Preempted (SIGTERM): checkpoint saved at epoch %d step %d; resume with --resume_training 1 --resume_model_train auto." % (epoch + 1, idx + 1))
+                    else:
+                        # Workers save nothing — the checkpoint lives on the
+                        # primary's output dir; saying "saved" here would
+                        # send an operator resuming on this host to a
+                        # missing (or stale) file.
+                        print("Preempted (SIGTERM): worker process %d exiting; the checkpoint is on the primary host." % jax.process_index())
                     # Terminate, don't fall through: a preempted process must
                     # not continue into the test phase or a sweep's next run
                     # during its grace period.  Exit 143 (= 128+SIGTERM, the

@@ -153,6 +153,48 @@ def test_fused_decode_step_batch_blocked():
     np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
 
 
+def test_fused_decode_step_per_shard_row_padding():
+    """B > the block envelope and NOT a block multiple: the raw fns pad
+    rows internally (per-shard — under GSPMD each shard sees a local B
+    that need not be a 512 multiple, e.g. global 1536 over dp=2) and
+    slice the pad back off.  Forced here by shrinking the 512-row
+    envelope to 16 so B=24 pads to 32 and splits into two 16-row blocks;
+    both cells, checked against the unfused XLA step."""
+    from show_tell_tpu.models.rnn_cells import stack_step_gru, stack_step_lstm
+    from show_tell_tpu.ops import fused_step_pallas as fsp
+    from show_tell_tpu.ops.rnn_pallas import prepare_rnn_weights
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab
+
+    B, E, H, L, V = 24, 32, 64, 2, 40
+    rng = np.random.RandomState(41)
+    x = jnp.asarray(rng.randn(B, E).astype(np.float32))
+    hs0 = jnp.asarray(rng.randn(L, B, H).astype(np.float32))
+    cs0 = jnp.asarray(rng.randn(L, B, H).astype(np.float32))
+    orig_pick, orig_pad = fsp._pick_block_b, fsp._pad_rows
+    fsp._pick_block_b = lambda b: b if b <= 16 else 16
+    fsp._pad_rows = lambda b: (-b) % 16 if b > 16 else 0
+    try:
+        for cell, step in (("gru", stack_step_gru), ("lstm", stack_step_lstm)):
+            cfg = DecoderConfig(cell, E, H, V, L)
+            params = init_decoder_params(jax.random.PRNGKey(7), cfg)
+            stacked = prepare_rnn_weights(params["rnn"])
+            vocab = prepare_vocab(params["linear"])
+            if cell == "lstm":
+                tok, (new_hs, new_cs) = fsp.fused_lstm_decode_step_pallas(
+                    stacked, vocab, x, hs0, cs0, interpret=True)
+                ref_top, (ref_hs, ref_cs) = step(params["rnn"], x, (hs0, cs0))
+                np.testing.assert_allclose(np.asarray(new_cs), np.asarray(ref_cs), rtol=1e-5, atol=1e-5)
+            else:
+                tok, new_hs = fsp.fused_gru_decode_step_pallas(stacked, vocab, x, hs0, interpret=True)
+                ref_top, ref_hs = step(params["rnn"], x, hs0)
+            ref_tok = jnp.argmax(jnp.dot(ref_top, params["linear"]["w"]) + params["linear"]["b"], axis=-1)
+            assert tok.shape == (B,) and new_hs.shape == (L, B, H)
+            np.testing.assert_allclose(np.asarray(new_hs), np.asarray(ref_hs), rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+    finally:
+        fsp._pick_block_b, fsp._pad_rows = orig_pick, orig_pad
+
+
 def test_attention_context_pallas_matches_reference():
     from show_tell_tpu.models.attention import (
         AttnDecoderConfig,
