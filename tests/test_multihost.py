@@ -108,3 +108,20 @@ def test_two_process_dp8_matches_single_process():
     np.testing.assert_allclose(
         results[0]["losses_local"], results[0]["losses"], rtol=1e-6, atol=1e-7
     )
+
+
+def test_make_mesh_rejects_processless_multihost_mesh(monkeypatch):
+    """A multi-host mesh whose dp*mp prefix leaves some process with zero
+    devices must be rejected up front (make_mesh) — otherwise that
+    process fails obscurely in put_sharded and the others hang in their
+    first collective.  Simulated single-process: all 8 virtual devices
+    report process_index 0, so claiming 2 processes makes ANY mesh
+    processless for the phantom process 1."""
+    from show_tell_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="every process must own mesh devices"):
+        make_mesh(dp=4)
+    # single-process: the same shape is fine
+    monkeypatch.undo()
+    assert make_mesh(dp=4).shape["dp"] == 4
