@@ -83,8 +83,9 @@ def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCO
         initialize(multihost)
         print("Multi-host runtime: process %d of %d, %d global devices."
               % (jax.process_index(), jax.process_count(), jax.device_count()))
-        if params.get("device") == "cpu" and jax.default_backend() != "cpu":
-            print("Warning: --device cpu requested but the %s backend was already initialized." % jax.default_backend())
+        # Re-run the did-it-take check that was skipped above (idempotent:
+        # the config update is swallowed post-init, only the warning runs).
+        apply_device(params.get("device", "gpu"))
     print("Parameters being used by the Model - ", params)
 
     vocab = get_vocabulary(data_source, params)
@@ -123,6 +124,17 @@ def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCO
             init_params_state=init_ps,
         )
         results["train_state"] = ts
+
+    if params["is_testing"] and jax.process_count() > 1:
+        # Multi-host: the test phase is a single-host flow (the checkpoint
+        # lives in the PRIMARY's output dir, and N processes would race
+        # the same metric pickles on a shared filesystem).  Workers stop
+        # here; run the eval CLI on one host for a sharded eval.
+        from show_tell_tpu.parallel.multihost import is_primary
+
+        if not is_primary():
+            print("Multi-host: worker process %d skips the test phase (primary runs it)." % jax.process_index())
+            return results
 
     if params["is_testing"]:
         optimizer = make_optimizer(params["optimizer_type"], params["lr"], params.get("momentum", 0.9))

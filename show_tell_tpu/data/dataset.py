@@ -219,6 +219,12 @@ class DataLoader:
             raise ValueError(
                 "batch_size %d does not divide over %d processes" % (batch_size, process_shard[1])
             )
+        if process_shard is not None and not drop_last:
+            # A ragged final batch would give each host a different local
+            # row count while put_sharded(local_rows=True) reconstructs
+            # global_shape as local*nproc — the processes would disagree
+            # on the global shape at the epoch's last batch.
+            raise ValueError("process_shard requires drop_last=True")
         self.process_shard = process_shard
         self._rng = np.random.RandomState(seed)
         # One decode pool per loader, shared across epochs (__iter__ calls);

@@ -68,14 +68,19 @@ def put_sharded(x, sharding: NamedSharding, local_rows: bool = False):
     if sharding.is_fully_replicated:
         local = x
     else:
-        spans = {s[0] for s in sharding.addressable_devices_indices_map(x.shape).values()}
+        # (start, stop) tuples, not slice objects: slices are unhashable
+        # before Python 3.12 and this package supports 3.10+.
+        spans = {
+            (sl[0].start, sl[0].stop)
+            for sl in sharding.addressable_devices_indices_map(x.shape).values()
+        }
         if not spans:
             raise ValueError(
                 "put_sharded: this process owns no devices of the sharding's mesh "
                 "(multi-host meshes must span every process — see make_mesh)"
             )
-        start = min(s.start or 0 for s in spans)
-        stop = max(x.shape[0] if s.stop is None else s.stop for s in spans)
+        start = min(st or 0 for st, _ in spans)
+        stop = max(x.shape[0] if sp is None else sp for _, sp in spans)
         local = x[start:stop]
     return jax.make_array_from_process_local_data(sharding, local, global_shape=x.shape)
 

@@ -55,8 +55,6 @@ def create_checkpoint(
     process to participate (a one-process save of multi-process arrays
     would deadlock its coordination; with replicated params the pickle
     file is the identical global state anyway)."""
-    import jax
-
     if params.get("ckpt_format", "pickle") == "orbax" and jax.process_count() > 1:
         print("Multi-host: ckpt_format=orbax falls back to pickle (process-0 save of replicated params).")
     if params.get("ckpt_format", "pickle") == "orbax" and jax.process_count() == 1:

@@ -129,6 +129,19 @@ def train(
     def _on_sigterm(signum, frame):
         preempted["flag"] = True
 
+    # SIGTERM is delivered per-host (a cloud preemption TERMs one VM, not
+    # the job): if the signaled process exited alone, the others would
+    # hang forever in the next step's gradient psum waiting for it.  All
+    # processes must agree on preemption at the same batch boundary — one
+    # tiny allgather per step, amortized against the step's own DCN psums.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def _preempt_agreed(flag: bool) -> bool:
+            return bool(multihost_utils.process_allgather(np.asarray(flag)).any())
+    else:
+        _preempt_agreed = bool
+
     prev_handler, handler_installed = None, False
     try:
         prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
@@ -177,7 +190,7 @@ def train(
                     elif tracing and idx + 1 >= 6:
                         jax.profiler.stop_trace()
                         tracing = False
-                if preempted["flag"]:
+                if _preempt_agreed(preempted["flag"]):
                     if tracing:
                         jax.profiler.stop_trace()
                     if primary:

@@ -77,8 +77,14 @@ def load_vocab(path: str) -> DatasetVocabulary:
 
 
 def save_vocab(vocab: DatasetVocabulary, path: str) -> None:
-    with open(path, "wb") as f:
+    """Atomic write (tmp + rename): under multi-host every process may
+    build and save the identical vocab concurrently into a shared
+    output dir; a plain open(path, 'wb') could hand another process a
+    torn pickle mid-write."""
+    tmp = "%s.tmp.%d" % (path, os.getpid())
+    with open(tmp, "wb") as f:
         pickle.dump(vocab, f)
+    os.replace(tmp, path)
 
 
 def get_vocabulary(dataset: str, params: Dict[str, Any]) -> DatasetVocabulary:

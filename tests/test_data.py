@@ -460,3 +460,20 @@ def test_process_sharded_loader_reassembles_global_batch(tmp_path, native):
             np.testing.assert_array_equal(b[3], lengths)
         np.testing.assert_array_equal(np.concatenate([b0[1], b1[1]], axis=0), images)
         assert b0[1].shape[0] == b1[1].shape[0] == images.shape[0] // 2
+
+
+def test_process_sharded_loader_requires_drop_last(tmp_path):
+    """process_shard without drop_last must be rejected at construction:
+    a ragged final batch would give each host a different local row
+    count while put_sharded(local_rows=True) reconstructs global_shape
+    as local*nproc — silent cross-host shape disagreement."""
+    from fixtures import build_mini_coco, mini_params
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.vocab import get_vocabulary
+
+    build_mini_coco(str(tmp_path / "data"))
+    params = mini_params(str(tmp_path / "data"), str(tmp_path / "out"))
+    vocab = get_vocabulary("MSCOCO", params)
+    ds = MSCOCO(params["ann_path_train"], params["data_path_train"], vocab)
+    with pytest.raises(ValueError, match="drop_last"):
+        DataLoader(ds, batch_size=4, drop_last=False, process_shard=(0, 2))
