@@ -84,10 +84,21 @@ def main():
         ts, loss = step(ts, gi, gc, gl)
         losses_local.append(float(loss))
 
+    # The train loop's cross-host preemption agreement (train/loop.py
+    # _preempt_agreed): SIGTERM lands on ONE host, so the flag must
+    # all-gather to an OR every process sees.  Simulate "only process 0
+    # was signaled" and "nobody was signaled" over the real 2-process
+    # runtime.
+    from jax.experimental import multihost_utils
+
+    agreed_one = bool(multihost_utils.process_allgather(np.asarray(pid == 0)).any())
+    agreed_none = bool(multihost_utils.process_allgather(np.asarray(False)).any())
+
     print(
         "RESULT " + json.dumps(
             {"pid": pid, "primary": is_primary(), "losses": losses,
-             "checksum": checksum, "losses_local": losses_local}
+             "checksum": checksum, "losses_local": losses_local,
+             "preempt_agreed_one": agreed_one, "preempt_agreed_none": agreed_none}
         ),
         flush=True,
     )

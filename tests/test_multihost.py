@@ -108,6 +108,11 @@ def test_two_process_dp8_matches_single_process():
     np.testing.assert_allclose(
         results[0]["losses_local"], results[0]["losses"], rtol=1e-6, atol=1e-7
     )
+    # preemption agreement (train/loop.py): a flag raised on ONE process
+    # must be seen by BOTH; no flag anywhere stays False everywhere
+    for r in results.values():
+        assert r["preempt_agreed_one"] is True
+        assert r["preempt_agreed_none"] is False
 
 
 def test_make_mesh_rejects_processless_multihost_mesh(monkeypatch):
