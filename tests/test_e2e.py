@@ -321,3 +321,27 @@ def test_flickr_end_to_end(tmp_path):
     assert os.path.isfile(os.path.join(out_dir, "vocab.pkl"))
     scores = res.get("scores") or {}
     assert "Bleu_1" in scores
+
+
+def test_multihost_worker_skips_test_phase(trained, monkeypatch):
+    """Under multi-host, the testing phase is primary-only: a worker
+    process returns after training instead of crashing on a checkpoint
+    that only the primary wrote (or racing the metric pickles on a
+    shared filesystem).  Simulated single-process via monkeypatched
+    process_count/is_primary."""
+    import jax
+
+    from show_tell_tpu.parallel import multihost
+
+    data_root, out_dir, _ = trained
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost, "is_primary", lambda: False)
+    res = run(
+        "gru",
+        _argv(
+            data_root,
+            out_dir,
+            ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1"],
+        ),
+    )
+    assert "scores" not in res  # worker stopped before the test phase
