@@ -15,7 +15,6 @@ host-driven loop (the reference syncs to host every step anyway).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax
@@ -26,7 +25,7 @@ from show_tell_tpu.models.decoder import DecoderConfig
 from show_tell_tpu.models.rnn_cells import init_state, stack_step_gru
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def _gru_step(params: Dict[str, Any], x: jax.Array, hs: jax.Array):
     top, hs2 = stack_step_gru(params["rnn"], x, hs)
     logits = jnp.dot(top, params["linear"]["w"], preferred_element_type=jnp.float32) + params["linear"]["b"]

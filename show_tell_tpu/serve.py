@@ -120,6 +120,12 @@ class Captioner:
         from show_tell_tpu.vocab.vocabulary import load_vocab
 
         vocab = load_vocab(vocab_path)
+        # Like end_idx in _decode_fn: a foreign/legacy vocab need not put
+        # <start> at the builder's id 1, and the attention families embed
+        # the start token at step 0 — derive it from the loaded vocab.
+        cfg_kw.setdefault(
+            "start_token", vocab.word_to_index.get(vocab.start_token(), 1)
+        )
         cfg = CaptionerConfig(
             variant=variant,
             resnet_version=resnet_version,
@@ -139,8 +145,20 @@ class Captioner:
         try:
             ckpt = load_checkpoint(ckpt_path)
             is_ours = isinstance(ckpt, dict) and ckpt.get("format", "").startswith("show_tell_tpu")
-        except Exception:
-            is_ours = False
+        except Exception as ours_err:
+            # Not loadable as ours: try the torch importer, but if BOTH
+            # fail, surface both errors — a torn/corrupt checkpoint of OUR
+            # format would otherwise hide behind an unrelated torch
+            # deserialization message.
+            try:
+                return import_torch_checkpoint(ckpt_path, cfg)
+            except Exception as torch_err:
+                raise ValueError(
+                    "%s loads neither as a show_tell_tpu checkpoint (%s: %s) "
+                    "nor as a torch checkpoint (%s: %s)"
+                    % (ckpt_path, type(ours_err).__name__, ours_err,
+                       type(torch_err).__name__, torch_err)
+                ) from torch_err
         if not is_ours:
             return import_torch_checkpoint(ckpt_path, cfg)
         enc = ckpt["encoder_state_dict"]
@@ -372,8 +390,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 for f in sorted(os.listdir(item))
                 if f.lower().endswith((".jpg", ".jpeg", ".png"))
             )
-        else:
+        elif os.path.isfile(item):
             paths.append(item)
+        else:
+            # Fail fast and on stderr: a typo'd path would otherwise crash
+            # with a raw traceback from the prefetch thread mid-stream,
+            # after checkpoint load/compile and earlier batches' output.
+            print("image path does not exist: %s" % item, file=sys.stderr)
+            return 2
     if not paths:
         print("no images found", file=sys.stderr)
         return 2

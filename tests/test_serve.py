@@ -533,3 +533,60 @@ def test_serve_beam_uses_vocab_end_token(trained):
     assert (ids[:, 0] == 5).all(), ids[:, :4]
     assert (ids[:, 1:] == 0).all(), ids[:, :4]
     assert cap.caption(images, beam_size=2) == ["", ""]
+
+
+def test_serve_start_token_from_vocab(trained):
+    """from_checkpoint derives start_token from the LOADED vocab (same
+    review rationale as end_idx): a foreign/legacy vocab need not put
+    <start> at the builder's id 1, and the attention families embed it
+    at step 0."""
+    import copy
+
+    from show_tell_tpu.vocab.vocabulary import load_vocab, save_vocab
+
+    data_root, out_dir = trained
+    vocab = load_vocab(os.path.join(out_dir, "vocab.pkl"))
+    start_word, other = vocab.start_token(), vocab.index_to_word[4]
+    remapped = copy.deepcopy(vocab)
+    remapped.word_to_index[start_word], remapped.word_to_index[other] = 4, 1
+    remapped.index_to_word[4], remapped.index_to_word[1] = start_word, other
+    remapped_path = os.path.join(out_dir, "vocab_remapped_start.pkl")
+    save_vocab(remapped, remapped_path)
+
+    cap = Captioner.from_checkpoint(
+        os.path.join(out_dir, "model_1.ckpt"), remapped_path,
+        variant="gru", resnet_version=18, embed_dim=16, hidden_dim=24,
+        num_layers=1, compute_dtype="float32")
+    assert cap.cfg.start_token == 4
+    # an explicit override still wins
+    cap2 = Captioner.from_checkpoint(
+        os.path.join(out_dir, "model_1.ckpt"), remapped_path,
+        variant="gru", resnet_version=18, embed_dim=16, hidden_dim=24,
+        num_layers=1, compute_dtype="float32", start_token=1)
+    assert cap2.cfg.start_token == 1
+
+
+def test_load_any_checkpoint_corrupt_surfaces_both_errors(tmp_path):
+    """A file that loads as NEITHER format must raise an error naming
+    both failures — a torn pickle of OUR format must not hide behind an
+    unrelated torch deserialization message."""
+    from show_tell_tpu.models.captioner import CaptionerConfig
+
+    bad = tmp_path / "corrupt.ckpt"
+    bad.write_bytes(b"\x80\x04 definitely not a checkpoint")
+    cfg = CaptionerConfig(variant="gru", resnet_version=18, embed_dim=16,
+                          hidden_dim=24, vocab_size=40, num_layers=1)
+    with pytest.raises(ValueError, match="neither"):
+        Captioner._load_any_checkpoint(str(bad), cfg)
+
+
+def test_serve_cli_missing_image_path(capsys):
+    """A typo'd image path fails fast on stderr (exit 2) BEFORE the
+    checkpoint loads — not with a raw traceback from the prefetch thread
+    mid-stream."""
+    from show_tell_tpu.serve import main
+
+    rc = main(["--ckpt", "/nonexistent.ckpt", "--vocab", "/nonexistent.pkl",
+               "/no/such/image.jpg"])
+    assert rc == 2
+    assert "does not exist" in capsys.readouterr().err
