@@ -39,6 +39,10 @@ def captioner_config_from_params(params: Dict[str, Any], vocab_size: int) -> Cap
         attn_dim=params.get("attn_dim", 512),
         alpha_c=params.get("alpha_c", 1.0),
         max_caption_length=params.get("max_caption_length", 25),
+        # The train/eval CLIs always see a builder vocab (or a reference
+        # vocab.pkl): both pin <start> at id 1, like the reference
+        # hard-codes.  Foreign vocabs only reach the serve CLI, whose
+        # from_checkpoint derives start_token from the loaded vocab.
         start_token=1,
         attn_next_token=bool(params.get("attn_next_token", 0)),
     )
