@@ -27,6 +27,14 @@ def device_prefetch(
     global array via mesh.put_sharded(local_rows=True)."""
     from show_tell_tpu.parallel.mesh import batch_sharding, put_sharded
 
+    if not set(local_indices) <= set(put_indices):
+        # A local-rows element that is never device_put would flow into
+        # the step as this process's PARTIAL batch — a silent multi-host
+        # divergence, not an error XLA can catch.
+        raise ValueError(
+            "local_indices %r must be a subset of put_indices %r"
+            % (local_indices, put_indices)
+        )
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     def put(batch):

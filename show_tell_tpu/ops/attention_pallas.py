@@ -33,7 +33,10 @@ def _kernel(feats_ref, att1_ref, h_ref, wdec_ref, bdec_ref, wfull_ref, ctx_ref, 
     h = h_ref[...]  # [Bb, H]
     att2 = jnp.dot(h, wdec_ref[...], preferred_element_type=jnp.float32) + bdec_ref[...]
     act = jax.nn.leaky_relu(att1_ref[...].astype(jnp.float32) + att2[:, None, :], negative_slope=0.2)
-    # e[b,p] = sum_a act[b,p,a] * w_full[a]  (+ b_full folded into wfull row 0 bias slot by caller)
+    # e[b,p] = sum_a act[b,p,a] * w_full[a].  The reference adds b_full
+    # here; the caller DROPS it (softmax-invariant constant — see
+    # attention_context_pallas), so e differs from the reference by that
+    # constant, and alpha/ctx do not.
     e = jnp.sum(act * wfull_ref[...][None, None, :], axis=-1)  # [Bb, P]
     alpha = jax.nn.softmax(e, axis=1)
     ctx = jnp.sum(feats_ref[...].astype(jnp.float32) * alpha[..., None], axis=1)  # [Bb, C]

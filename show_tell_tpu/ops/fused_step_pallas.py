@@ -41,22 +41,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from show_tell_tpu.ops.vocab_pallas import VOCAB_BLOCK
-
-
-def _merge_block_argmax(logits, j, block_v, is_first, best_val, best_idx):
-    """First-max merge of one vocab block into the running (max, argmax)
-    scratch pair; is_first overrides the (uninitialized) scratch read on
-    the first vocab block of each batch block."""
-    local_max = jnp.max(logits, axis=1, keepdims=True)  # [Bb, 1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    local_arg = (
-        jnp.min(jnp.where(logits == local_max, iota, jnp.int32(2**30)), axis=1, keepdims=True)
-        + j * block_v
-    )
-    better = (local_max > best_val[...]) | is_first
-    best_val[...] = jnp.where(better, local_max, best_val[...])
-    best_idx[...] = jnp.where(better, local_arg, best_idx[...])
+from show_tell_tpu.ops.rnn_pallas import gru_cell_math, lstm_cell_math
+from show_tell_tpu.ops.vocab_pallas import (
+    VOCAB_BLOCK,
+    _pad_rows,
+    _pick_block_b,
+    merge_block_argmax,
+)
 
 
 def _fused_gru_kernel(
@@ -71,14 +62,10 @@ def _fused_gru_kernel(
 
     @pl.when(t < L)
     def _():
-        h = h_in_ref[0]  # [Bb, H]
-        H = h.shape[-1]
-        gx = jnp.dot(x_buf[...], w_ih_ref[0], preferred_element_type=jnp.float32) + b_ih_ref[0]
-        gh = jnp.dot(h, w_hh_ref[0], preferred_element_type=jnp.float32) + b_hh_ref[0]
-        r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
-        z = jax.nn.sigmoid(gx[:, H : 2 * H] + gh[:, H : 2 * H])
-        n = jnp.tanh(gx[:, 2 * H :] + r * gh[:, 2 * H :])
-        h2 = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(h_out_ref.dtype)
+        h2 = gru_cell_math(
+            x_buf[...], h_in_ref[0], w_ih_ref[0], w_hh_ref[0], b_ih_ref[0], b_hh_ref[0],
+            h_out_ref.dtype,
+        )
         h_out_ref[0] = h2
         x_buf[...] = h2
 
@@ -89,7 +76,7 @@ def _fused_gru_kernel(
             jnp.dot(x_buf[...], wv_ref[...], preferred_element_type=jnp.float32)
             + bv_ref[...].astype(jnp.float32)
         )  # [Bb, block_v]
-        _merge_block_argmax(logits, j, block_v, t == L, best_val, best_idx)
+        merge_block_argmax(logits, j, block_v, t == L, best_val, best_idx)
 
     @pl.when(t == L + n_blocks - 1)
     def _():
@@ -108,23 +95,13 @@ def _fused_lstm_kernel(
 
     @pl.when(t < L)
     def _():
-        h = h_in_ref[0]  # [Bb, H]
-        c = c_in_ref[0]
-        H = h.shape[-1]
-        g = (
-            jnp.dot(x_buf[...], w_ih_ref[0], preferred_element_type=jnp.float32)
-            + b_ih_ref[0]
-            + jnp.dot(h, w_hh_ref[0], preferred_element_type=jnp.float32)
-            + b_hh_ref[0]
+        h2, c2 = lstm_cell_math(
+            x_buf[...], h_in_ref[0], c_in_ref[0],
+            w_ih_ref[0], w_hh_ref[0], b_ih_ref[0], b_hh_ref[0],
+            h_out_ref.dtype, c_out_ref.dtype,
         )
-        i = jax.nn.sigmoid(g[:, :H])
-        f = jax.nn.sigmoid(g[:, H : 2 * H])
-        gg = jnp.tanh(g[:, 2 * H : 3 * H])
-        o = jax.nn.sigmoid(g[:, 3 * H :])
-        c2 = f * c.astype(jnp.float32) + i * gg
-        h2 = (o * jnp.tanh(c2)).astype(h_out_ref.dtype)
         h_out_ref[0] = h2
-        c_out_ref[0] = c2.astype(c_out_ref.dtype)
+        c_out_ref[0] = c2
         x_buf[...] = h2
 
     @pl.when(t >= L)
@@ -134,35 +111,16 @@ def _fused_lstm_kernel(
             jnp.dot(x_buf[...], wv_ref[...], preferred_element_type=jnp.float32)
             + bv_ref[...].astype(jnp.float32)
         )
-        _merge_block_argmax(logits, j, block_v, t == L, best_val, best_idx)
+        merge_block_argmax(logits, j, block_v, t == L, best_val, best_idx)
 
     @pl.when(t == L + n_blocks - 1)
     def _():
         tok_ref[...] = best_idx[...]
 
 
-def _pick_block_b(B: int) -> int:
-    """Batch block: whole batch up to 512, else 512-row blocks (the raw
-    fns pad B > 512 up to a 512 multiple — _pad_rows).  Splitting the
-    batch re-streams every weight block once per batch block, which costs
-    more than it saves — measured at B=512 bf16 serving shapes:
-    whole-batch 6.88ms vs 7.30ms split-256 vs 9.14ms split-128 (XLA scan
-    7.40ms) — and whole-batch blocks are VMEM-validated only through
-    B=512, so oversized batches split at 512 (correct, though at those
-    sizes the XLA scan may be preferable; the serving knee is B=512/chip
-    and under a dp mesh this sees the per-shard batch, so real
-    configurations stay on the whole-batch fast path)."""
-    return B if B <= 512 else 512
-
-
-def _pad_rows(B: int) -> int:
-    """Rows to append so B > 512 splits evenly into 512-row blocks.
-    Applied INSIDE the raw (per-shard) functions: under GSPMD each shard
-    sees its own local B, which need not be a 512 multiple even when the
-    global batch is one (e.g. global 1536 over dp=2 -> 768/shard).
-    Padded rows are independent batch rows of zeros (finite gate math,
-    no NaN hazard) and are sliced off the outputs."""
-    return (-B) % 512 if B > 512 else 0
+# _pick_block_b / _pad_rows: the shared 512-row batch envelope (and its
+# measured rationale) lives in ops/vocab_pallas.py — every decode kernel
+# family applies it inside its per-shard raw function.
 
 
 def _fused_gru_raw(x, w_ih, w_hh, b_ih, b_hh, hs, wv, bv, *, block_v, interpret):

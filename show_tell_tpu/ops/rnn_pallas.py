@@ -31,6 +31,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from show_tell_tpu.ops.vocab_pallas import _pad_rows, _pick_block_b
+
+
+def gru_cell_math(x, h, w_ih, w_hh, b_ih, b_hh, out_dtype):
+    """One GRU cell in f32 gate math (torch gate order r,z,n; double
+    biases; reset applied to the hidden-side affine), cast back to the
+    carry dtype.  ONE source of truth for the parity-critical math —
+    shared by the standalone stack kernel and the fully fused decode
+    step (ops/fused_step_pallas.py).  Reference rnn.py:24 (cuDNN GRU)."""
+    H = h.shape[-1]
+    gx = jnp.dot(x, w_ih, preferred_element_type=jnp.float32) + b_ih
+    gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+    r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+    z = jax.nn.sigmoid(gx[:, H : 2 * H] + gh[:, H : 2 * H])
+    n = jnp.tanh(gx[:, 2 * H :] + r * gh[:, 2 * H :])
+    return ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(out_dtype)
+
+
+def lstm_cell_math(x, h, c, w_ih, w_hh, b_ih, b_hh, h_dtype, c_dtype):
+    """One LSTM cell in f32 gate math (torch gate order i,f,g,o; double
+    biases), h/c cast back to the carry dtypes.  Shared like the GRU
+    twin.  Reference LSTM/rnn_lstm.py (cuDNN LSTM)."""
+    H = h.shape[-1]
+    g = (
+        jnp.dot(x, w_ih, preferred_element_type=jnp.float32)
+        + b_ih
+        + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+        + b_hh
+    )
+    i = jax.nn.sigmoid(g[:, :H])
+    f = jax.nn.sigmoid(g[:, H : 2 * H])
+    gg = jnp.tanh(g[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(g[:, 3 * H :])
+    c2 = f * c.astype(jnp.float32) + i * gg
+    h2 = (o * jnp.tanh(c2)).astype(h_dtype)
+    return h2, c2.astype(c_dtype)
+
 
 def prepare_rnn_weights(layers: List[Dict[str, jax.Array]]) -> Dict[str, jax.Array]:
     """Stack per-layer GRU/LSTM params into [L, ...] tensors, padding
@@ -55,20 +92,16 @@ prepare_gru_weights = prepare_rnn_weights
 
 
 def _gru_stack_kernel(x_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref, h_in_ref, h_out_ref, x_buf):
-    l = pl.program_id(0)
+    l = pl.program_id(1)
 
     @pl.when(l == 0)
     def _():
         x_buf[...] = x_ref[...]
 
-    h = h_in_ref[0]  # [B, H]
-    H = h.shape[-1]
-    gx = jnp.dot(x_buf[...], w_ih_ref[0], preferred_element_type=jnp.float32) + b_ih_ref[0]
-    gh = jnp.dot(h, w_hh_ref[0], preferred_element_type=jnp.float32) + b_hh_ref[0]
-    r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
-    z = jax.nn.sigmoid(gx[:, H : 2 * H] + gh[:, H : 2 * H])
-    n = jnp.tanh(gx[:, 2 * H :] + r * gh[:, 2 * H :])
-    h2 = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(h_out_ref.dtype)
+    h2 = gru_cell_math(
+        x_buf[...], h_in_ref[0], w_ih_ref[0], w_hh_ref[0], b_ih_ref[0], b_hh_ref[0],
+        h_out_ref.dtype,
+    )
     h_out_ref[0] = h2
     x_buf[...] = h2
 
@@ -76,77 +109,88 @@ def _gru_stack_kernel(x_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref, h_in_ref, h
 def _lstm_stack_kernel(
     x_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref, h_in_ref, c_in_ref, h_out_ref, c_out_ref, x_buf
 ):
-    l = pl.program_id(0)
+    l = pl.program_id(1)
 
     @pl.when(l == 0)
     def _():
         x_buf[...] = x_ref[...]
 
-    h = h_in_ref[0]  # [B, H]
-    c = c_in_ref[0]
-    H = h.shape[-1]
-    g = (
-        jnp.dot(x_buf[...], w_ih_ref[0], preferred_element_type=jnp.float32)
-        + b_ih_ref[0]
-        + jnp.dot(h, w_hh_ref[0], preferred_element_type=jnp.float32)
-        + b_hh_ref[0]
+    h2, c2 = lstm_cell_math(
+        x_buf[...], h_in_ref[0], c_in_ref[0],
+        w_ih_ref[0], w_hh_ref[0], b_ih_ref[0], b_hh_ref[0],
+        h_out_ref.dtype, c_out_ref.dtype,
     )
-    i = jax.nn.sigmoid(g[:, :H])
-    f = jax.nn.sigmoid(g[:, H : 2 * H])
-    gg = jnp.tanh(g[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(g[:, 3 * H :])
-    c2 = f * c.astype(jnp.float32) + i * gg
-    h2 = (o * jnp.tanh(c2)).astype(h_out_ref.dtype)
     h_out_ref[0] = h2
-    c_out_ref[0] = c2.astype(c_out_ref.dtype)
+    c_out_ref[0] = c2
     x_buf[...] = h2
 
 
 def _lstm_stack_raw(x, w_ih, w_hh, b_ih, b_hh, hs, cs, *, interpret):
     L, B, H = hs.shape
+    pad = _pad_rows(B)
+    if pad:  # keep every batch block inside the VMEM-validated 512-row envelope
+        new_hs, new_cs = _lstm_stack_raw(
+            jnp.pad(x, ((0, pad), (0, 0))), w_ih, w_hh, b_ih, b_hh,
+            jnp.pad(hs, ((0, 0), (0, pad), (0, 0))), jnp.pad(cs, ((0, 0), (0, pad), (0, 0))),
+            interpret=interpret,
+        )
+        return new_hs[:, :B], new_cs[:, :B]
     GH = 4 * H
+    block_b = _pick_block_b(B)
+    lyr = lambda bb, l: (l, bb, 0)
+    wgt = lambda bb, l: (l, 0, 0)
     return pl.pallas_call(
         _lstm_stack_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((L, B, H), hs.dtype),
             jax.ShapeDtypeStruct((L, B, H), cs.dtype),
         ),
-        grid=(L,),
+        grid=(B // block_b, L),
         in_specs=[
-            pl.BlockSpec((B, H), lambda l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda bb, l: (bb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, GH), wgt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, GH), wgt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GH), wgt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GH), wgt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, H), lyr, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, H), lyr, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, H), lyr, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, H), lyr, memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((B, H), hs.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_b, H), hs.dtype)],
         interpret=interpret,
     )(x, w_ih, w_hh, b_ih, b_hh, hs, cs)
 
 
 def _gru_stack_raw(x, w_ih, w_hh, b_ih, b_hh, hs, *, interpret):
     L, B, H = hs.shape
+    pad = _pad_rows(B)
+    if pad:  # keep every batch block inside the VMEM-validated 512-row envelope
+        new_hs = _gru_stack_raw(
+            jnp.pad(x, ((0, pad), (0, 0))), w_ih, w_hh, b_ih, b_hh,
+            jnp.pad(hs, ((0, 0), (0, pad), (0, 0))), interpret=interpret,
+        )
+        return new_hs[:, :B]
     GH = 3 * H
+    block_b = _pick_block_b(B)
+    lyr = lambda bb, l: (l, bb, 0)
+    wgt = lambda bb, l: (l, 0, 0)
     return pl.pallas_call(
         _gru_stack_kernel,
         out_shape=jax.ShapeDtypeStruct((L, B, H), hs.dtype),
-        grid=(L,),
+        grid=(B // block_b, L),
         in_specs=[
-            pl.BlockSpec((B, H), lambda l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, GH), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda bb, l: (bb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, GH), wgt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, GH), wgt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GH), wgt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GH), wgt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, H), lyr, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, B, H), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((B, H), hs.dtype)],
+        out_specs=pl.BlockSpec((1, block_b, H), lyr, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_b, H), hs.dtype)],
         interpret=interpret,
     )(x, w_ih, w_hh, b_ih, b_hh, hs)
 

@@ -40,6 +40,57 @@ from jax.experimental.pallas import tpu as pltpu
 VOCAB_BLOCK = 512
 
 
+def _pick_block_b(B: int, cap: int = 512) -> int:
+    """Batch block for every decode kernel: whole batch up to `cap`,
+    else cap-row blocks (the raw fns pad B > cap up to a cap multiple —
+    _pad_rows).  Splitting the batch re-streams every weight block once
+    per batch block, which costs more than it saves — measured on the
+    fused step at B=512 bf16 serving shapes: whole-batch 6.88ms vs
+    7.30ms split-256 vs 9.14ms split-128 (XLA scan 7.40ms) — so each
+    kernel family keeps whole-batch blocks up to its VMEM-validated cap
+    and splits beyond it (correct, though at those sizes the XLA paths
+    may be preferable; the serving knee is B=512/chip and under a dp
+    mesh the raw fns see the per-shard batch, so real configurations
+    stay on the whole-batch fast path).  Caps: 512 for the fused step
+    and the stack kernels (double-buffered gate-weight blocks dominate
+    their VMEM budget); 1024 for the narrow projection kernels here
+    (working set ~4MB at 1024 rows — and beam's B*K=768 rows ran
+    whole-batch in every measured round; padding 768 up to 1024 was a
+    measured 0.96x -> 0.86x regression on the sparse beam kernel)."""
+    return B if B <= cap else cap
+
+
+def _pad_rows(B: int, cap: int = 512) -> int:
+    """Rows to append so B > cap splits evenly into cap-row blocks.
+    Applied INSIDE the raw (per-shard) functions: under GSPMD each shard
+    sees its own local B, which need not be a cap multiple even when the
+    global batch is one (e.g. global 1536 over dp=2 -> 768/shard).
+    Padded rows are independent batch rows of zeros (finite gate math,
+    no NaN hazard) and are sliced off the outputs."""
+    return (-B) % cap if B > cap else 0
+
+
+def merge_block_argmax(logits, j, block_v, is_first, best_val, best_idx):
+    """First-max merge of one vocab block into the running (max, argmax)
+    scratch pair; is_first overrides the (uninitialized) scratch read on
+    the first vocab block of each batch block.  Tie semantics match
+    jnp.argmax exactly: within a block the FIRST max index wins
+    (iota + min), across blocks a strictly-greater max is required to
+    displace an earlier block's winner.  Shared by the standalone
+    projection+argmax kernel and the fully fused decode-step kernels
+    (ops/fused_step_pallas.py) — ONE source of truth for the
+    parity-critical tie rule."""
+    local_max = jnp.max(logits, axis=1, keepdims=True)  # [Bb, 1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    local_arg = (
+        jnp.min(jnp.where(logits == local_max, iota, jnp.int32(2**30)), axis=1, keepdims=True)
+        + j * block_v
+    )
+    better = (local_max > best_val[...]) | is_first
+    best_val[...] = jnp.where(better, local_max, best_val[...])
+    best_idx[...] = jnp.where(better, local_arg, best_idx[...])
+
+
 def prepare_vocab(linear: Dict[str, jax.Array], block_v: int = VOCAB_BLOCK) -> Dict[str, jax.Array]:
     """Pad the output projection to a multiple of block_v columns.
     Padded columns get bias -1e9: finite (no NaN hazards in bf16 math)
@@ -53,53 +104,46 @@ def prepare_vocab(linear: Dict[str, jax.Array], block_v: int = VOCAB_BLOCK) -> D
 
 
 def _kernel(top_ref, w_ref, b_ref, tok_ref, best_val, best_idx, *, n_blocks, block_v):
-    j = pl.program_id(0)
+    j = pl.program_id(1)
     logits = (
         jnp.dot(top_ref[...], w_ref[...], preferred_element_type=jnp.float32)
         + b_ref[...].astype(jnp.float32)
-    )  # [B, block_v]
-    local_max = jnp.max(logits, axis=1, keepdims=True)  # [B, 1]
-    # First max index within the block: iota where logits==max, then min.
-    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    local_arg = jnp.min(
-        jnp.where(logits == local_max, iota, jnp.int32(2**30)), axis=1, keepdims=True
-    ) + j * block_v  # [B, 1] global vocab index
-
-    @pl.when(j == 0)
-    def _():
-        best_val[...] = local_max
-        best_idx[...] = local_arg
-
-    @pl.when(j > 0)
-    def _():
-        better = local_max > best_val[...]  # strict: earlier block wins ties
-        best_val[...] = jnp.where(better, local_max, best_val[...])
-        best_idx[...] = jnp.where(better, local_arg, best_idx[...])
+    )  # [Bb, block_v]
+    merge_block_argmax(logits, j, block_v, j == 0, best_val, best_idx)
 
     @pl.when(j == n_blocks - 1)
     def _():
         tok_ref[...] = best_idx[...]
 
 
+PROJ_ROW_CAP = 1024  # see _pick_block_b: the narrow projection kernels' envelope
+
+
 def _project_argmax_raw(w, b, top, *, block_v, interpret):
     B, H = top.shape
+    pad = _pad_rows(B, PROJ_ROW_CAP)
+    if pad:  # keep every batch block inside the VMEM-validated envelope
+        tok = _project_argmax_raw(w, b, jnp.pad(top, ((0, pad), (0, 0))),
+                                  block_v=block_v, interpret=interpret)
+        return tok[:B]
     Vpad = w.shape[1]
     assert Vpad % block_v == 0, (Vpad, block_v)
     n_blocks = Vpad // block_v
+    block_b = _pick_block_b(B, PROJ_ROW_CAP)
 
     tok = pl.pallas_call(
         functools.partial(_kernel, n_blocks=n_blocks, block_v=block_v),
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        grid=(n_blocks,),
+        grid=(B // block_b, n_blocks),
         in_specs=[
-            pl.BlockSpec((B, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda bb, j: (bb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, block_v), lambda bb, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda bb, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_b, 1), lambda bb, j: (bb, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((B, 1), jnp.float32),
-            pltpu.VMEM((B, 1), jnp.int32),
+            pltpu.VMEM((block_b, 1), jnp.float32),
+            pltpu.VMEM((block_b, 1), jnp.int32),
         ],
         interpret=interpret,
     )(top, w, b)
@@ -140,11 +184,11 @@ def _topk_kernel(top_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, m_sc, s_sc, 
     top-k over all blocks is the (cheap, [B, n_blocks*k]-wide) XLA
     reduction of this kernel's output — the [B, V] logits tensor itself
     never reaches HBM."""
-    j = pl.program_id(0)
+    j = pl.program_id(1)
     logits = (
         jnp.dot(top_ref[...], w_ref[...], preferred_element_type=jnp.float32)
         + b_ref[...].astype(jnp.float32)
-    )  # [B, block_v]
+    )  # [Bb, block_v]
 
     bm = jnp.max(logits, axis=1, keepdims=True)
     bs = jnp.sum(jnp.exp(logits - bm), axis=1, keepdims=True)
@@ -162,9 +206,10 @@ def _topk_kernel(top_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, m_sc, s_sc, 
 
     # k extraction passes (k static, <= beam width): max, first-argmax,
     # mask out — same tie semantics as jax.lax.top_k (first index wins).
-    # Each grid step owns output row j of the [n_blocks, B, k] results
-    # (a [1, B, k] block is Mosaic-legal; a [B, k] lane-slice of
-    # [B, n_blocks*k] is not — lane blocks must be 128-divisible).
+    # Each (batch block bb, vocab block j) grid step owns block (j, bb)
+    # of the [n_blocks, B, k] results (a [1, Bb, k] block is
+    # Mosaic-legal; a [Bb, k] lane-slice of [B, n_blocks*k] is not —
+    # lane blocks must be 128-divisible).
     iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     vals = logits
     for t in range(k):
@@ -181,9 +226,15 @@ def _topk_kernel(top_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, m_sc, s_sc, 
 
 def _project_topk_raw(w, b, top, *, k, block_v, interpret):
     B, H = top.shape
+    pad = _pad_rows(B, PROJ_ROW_CAP)
+    if pad:  # keep every batch block inside the VMEM-validated envelope
+        vals, idx, lse = _project_topk_raw(w, b, jnp.pad(top, ((0, pad), (0, 0))),
+                                           k=k, block_v=block_v, interpret=interpret)
+        return vals[:B], idx[:B], lse[:B]
     Vpad = w.shape[1]
     assert Vpad % block_v == 0, (Vpad, block_v)
     n_blocks = Vpad // block_v
+    block_b = _pick_block_b(B, PROJ_ROW_CAP)
 
     vals, idx, lse = pl.pallas_call(
         functools.partial(_topk_kernel, n_blocks=n_blocks, block_v=block_v, k=k),
@@ -192,20 +243,20 @@ def _project_topk_raw(w, b, top, *, k, block_v, interpret):
             jax.ShapeDtypeStruct((n_blocks, B, k), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ),
-        grid=(n_blocks,),
+        grid=(B // block_b, n_blocks),
         in_specs=[
-            pl.BlockSpec((B, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda bb, j: (bb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, block_v), lambda bb, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda bb, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, B, k), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, k), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, k), lambda bb, j: (j, bb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, k), lambda bb, j: (j, bb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda bb, j: (bb, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, 1), jnp.float32),
-            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((block_b, 1), jnp.float32),
+            pltpu.VMEM((block_b, 1), jnp.float32),
         ],
         interpret=interpret,
     )(top, w, b)

@@ -23,19 +23,30 @@ def make_mesh(dp: int = 0, mp: int = 1, devices: Optional[Sequence] = None) -> M
     devices = list(devices if devices is not None else jax.devices())
     if dp <= 0:
         dp = len(devices) // mp
+    if dp * mp > len(devices):
+        raise ValueError(
+            "mesh dp=%d x mp=%d needs %d devices but only %d are visible"
+            % (dp, mp, dp * mp, len(devices))
+        )
     devs = np.array(devices[: dp * mp]).reshape(dp, mp)
     if jax.process_count() > 1:
-        # Multi-host meshes must span every process: a process whose
-        # devices all fell off the dp*mp prefix has zero addressable
-        # shards, put_sharded/make_array_from_process_local_data fail
-        # obscurely there, and the remaining processes hang in their
-        # first collective waiting for it.  Reject up front.
-        procs = {d.process_index for d in devs.flat}
-        if len(procs) != jax.process_count():
+        # Multi-host meshes must cover every process EQUALLY: a process
+        # whose devices all fell off the dp*mp prefix has zero
+        # addressable shards (put_sharded fails obscurely there and the
+        # other processes hang in their first collective), and UNEQUAL
+        # coverage breaks the equal-share convention the process-sharded
+        # loader and put_sharded(local_rows=True) both assume (each host
+        # contributes exactly 1/Nth of every batch).  Reject up front.
+        counts: dict = {}
+        for d in devs.flat:
+            counts[d.process_index] = counts.get(d.process_index, 0) + 1
+        if len(counts) != jax.process_count() or len(set(counts.values())) != 1:
             raise ValueError(
-                "multi-host mesh (dp=%d, mp=%d) covers only processes %s of %d; "
-                "every process must own mesh devices — use dp*mp == jax.device_count() "
-                "(= %d) or run single-host" % (dp, mp, sorted(procs), jax.process_count(), jax.device_count())
+                "multi-host mesh (dp=%d, mp=%d) covers processes unevenly "
+                "(%s of %d processes); every process must own the same number "
+                "of mesh devices — use dp*mp == jax.device_count() (= %d) or "
+                "run single-host"
+                % (dp, mp, dict(sorted(counts.items())), jax.process_count(), jax.device_count())
             )
     return Mesh(devs, ("dp", "mp"))
 
@@ -62,7 +73,16 @@ def put_sharded(x, sharding: NamedSharding, local_rows: bool = False):
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
     x = np.asarray(x)
-    if local_rows and not sharding.is_fully_replicated:
+    if local_rows:
+        if sharding.is_fully_replicated:
+            # local_rows means "x holds ONLY this process's rows" — under
+            # a replicated sharding that would silently build a 'global'
+            # array from per-process partial (divergent) data.
+            raise ValueError(
+                "put_sharded(local_rows=True) with a fully-replicated sharding: "
+                "each process holds different rows, so no replicated global "
+                "value exists — pass the full batch, or shard the batch axis"
+            )
         global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
         return jax.make_array_from_process_local_data(sharding, x, global_shape=global_shape)
     if sharding.is_fully_replicated:

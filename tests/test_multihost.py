@@ -125,8 +125,28 @@ def test_make_mesh_rejects_processless_multihost_mesh(monkeypatch):
     from show_tell_tpu.parallel.mesh import make_mesh
 
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(ValueError, match="every process must own mesh devices"):
+    with pytest.raises(ValueError, match="every process must own the same number"):
         make_mesh(dp=4)
     # single-process: the same shape is fine
     monkeypatch.undo()
     assert make_mesh(dp=4).shape["dp"] == 4
+
+
+def test_make_mesh_rejects_uneven_and_oversized_meshes(monkeypatch):
+    """Round-3 review: EQUAL per-process device counts are required (the
+    process-sharded loader and put_sharded(local_rows=True) assume each
+    host owns exactly 1/Nth of every batch), and dp*mp beyond the device
+    count must fail with a clear message, not a numpy reshape error."""
+    from show_tell_tpu.parallel.mesh import make_mesh
+
+    class FakeDev:
+        def __init__(self, pid):
+            self.process_index = pid
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # covers both processes but unevenly: 2 devices from proc0, 1 from proc1
+    with pytest.raises(ValueError, match="unevenly"):
+        make_mesh(dp=3, mp=1, devices=[FakeDev(0), FakeDev(0), FakeDev(1)])
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(dp=len(jax.devices()) + 1, mp=1)

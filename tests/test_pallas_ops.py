@@ -508,3 +508,59 @@ def test_attn_greedy_decode_pallas_early_exit_matches_xla():
     ref = np.asarray(attn_greedy_decode(params, acfg, feats, 1, end_token=end))
     got = np.asarray(attn_greedy_decode_pallas(params, acfg, feats, 1, interpret=True, end_token=end))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_standalone_kernels_per_shard_row_padding():
+    """The 512-row batch envelope (vocab_pallas._pick_block_b/_pad_rows)
+    now guards EVERY standalone decode kernel — projection+argmax,
+    projection+top-k, and the GRU/LSTM stack steps — not just the fused
+    step (r3 review).  Forced here by shrinking the envelope to 16 so
+    B=24 pads to 32 and splits into two 16-row blocks; each kernel is
+    checked against its XLA formulation."""
+    from show_tell_tpu.models.rnn_cells import stack_step_gru, stack_step_lstm
+    from show_tell_tpu.ops import rnn_pallas as rp
+    from show_tell_tpu.ops import vocab_pallas as vp
+
+    B, E, H, L, V, K = 24, 32, 64, 2, 40, 3
+    rng = np.random.RandomState(43)
+    top = jnp.asarray(rng.randn(B, H).astype(np.float32))
+    lin = {"w": jnp.asarray(rng.randn(H, V).astype(np.float32)),
+           "b": jnp.asarray(rng.randn(V).astype(np.float32))}
+    logits = jnp.dot(top, lin["w"]) + lin["b"]
+    prepared = vp.prepare_vocab(lin)
+
+    saved = [(m, m._pick_block_b, m._pad_rows) for m in (vp, rp)]
+    for m in (vp, rp):
+        m._pick_block_b = lambda b, cap=16: b if b <= 16 else 16
+        m._pad_rows = lambda b, cap=16: (-b) % 16 if b > 16 else 0
+    try:
+        tok = vp.project_argmax_pallas(prepared, top, interpret=True)
+        np.testing.assert_array_equal(np.asarray(tok), np.asarray(jnp.argmax(logits, axis=-1)))
+
+        logp, ids = vp.project_topk_pallas(prepared, top, K, interpret=True)
+        rv, ri = jax.lax.top_k(jax.nn.log_softmax(logits, axis=-1), K)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(logp), np.asarray(rv), rtol=1e-5, atol=1e-5)
+
+        x = jnp.asarray(rng.randn(B, E).astype(np.float32))
+        hs0 = jnp.asarray(rng.randn(L, B, H).astype(np.float32))
+        cs0 = jnp.asarray(rng.randn(L, B, H).astype(np.float32))
+        cfg = DecoderConfig("gru", E, H, V, L)
+        params = init_decoder_params(jax.random.PRNGKey(9), cfg)
+        stacked = rp.prepare_rnn_weights(params["rnn"])
+        topg, new_hs = rp.gru_stack_step_pallas(stacked, x, hs0, interpret=True)
+        ref_top, ref_hs = stack_step_gru(params["rnn"], x, hs0)
+        np.testing.assert_allclose(np.asarray(new_hs), np.asarray(ref_hs), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(topg), np.asarray(ref_top), rtol=1e-5, atol=1e-5)
+
+        cfg_l = DecoderConfig("lstm", E, H, V, L)
+        params_l = init_decoder_params(jax.random.PRNGKey(10), cfg_l)
+        stacked_l = rp.prepare_rnn_weights(params_l["rnn"])
+        topl, (nh, nc) = rp.lstm_stack_step_pallas(stacked_l, x, hs0, cs0, interpret=True)
+        ref_topl, (rh, rc) = stack_step_lstm(params_l["rnn"], x, (hs0, cs0))
+        np.testing.assert_allclose(np.asarray(nh), np.asarray(rh), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(nc), np.asarray(rc), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(topl), np.asarray(ref_topl), rtol=1e-5, atol=1e-5)
+    finally:
+        for m, pick, pad in saved:
+            m._pick_block_b, m._pad_rows = pick, pad
