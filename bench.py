@@ -389,6 +389,9 @@ class _ServeVocab:
     def end_token(self):
         return "<end>"
 
+    def __call__(self, w):
+        return self.word_to_index.get(w, 3)
+
     def __len__(self):
         return len(self.index_to_word)
 
@@ -546,6 +549,78 @@ def bench_input(batch: int = 64, n_images: int = 512):
     )
 
 
+def bench_eval(batch: int = 256, n_images: int = 2048):
+    """`python bench.py --eval [B]`: the REFERENCE-PARITY eval loop
+    end-to-end — the north-star val2014 workload (utils.py:147-247).
+    test_model per batch: teacher-forced loss + batched greedy decode
+    (jitted; dp-sharded under a mesh on multi-chip hosts), ids -> words,
+    per-batch evaluate() (BLEU/CIDEr/ROUGE on the host), then the
+    metric pickles and the final per-image nltk corpus-BLEU pass.
+
+    Reported value = captions/sec through that COMPLETE flow including
+    all host-side scoring.  The flow runs twice: pass 1 pays the XLA
+    compiles (make_test_step memoizes), pass 2 is timed — matching how a
+    full COCO val epoch amortizes its one-time compile over 40k images.
+    """
+    import os
+    import shutil
+
+    import jax
+
+    from show_tell_tpu.data.dataset import MSCOCO, DataLoader
+    from show_tell_tpu.evaluation.tester import test_model
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state
+
+    batch = max(1, min(batch, n_images))
+    ann_path, img_dir, _ = _make_jpeg_dataset(n_images, prefix="bench_eval_")
+    root = os.path.dirname(ann_path)
+    out_dir = os.path.join(root, "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    cfg = _flagship_cfg()
+    vocab = _ServeVocab(cfg.vocab_size)
+    ds = MSCOCO(ann_path, img_dir, vocab, train=False)
+    loader = DataLoader(ds, batch_size=batch, shuffle=False, drop_last=False, prefetch=2)
+
+    ts = create_train_state(jax.random.PRNGKey(0), cfg, make_optimizer("SGD", 0.001, 0.9))
+    params = {
+        "output_dir": out_dir,
+        "compute_dtype": "bfloat16",  # the serving dtype (f32 = parity runs)
+        "use_pallas": -1,  # measured auto policy
+        "dp": 0,  # all visible devices (1 on this bench host)
+        "mp": 1,
+    }
+
+    # test_model's reference-parity progress prints go to stderr so the
+    # bench's stdout stays one JSON line.
+    import contextlib
+
+    dog = _device_watchdog()
+    with contextlib.redirect_stdout(sys.stderr):
+        test_model(ts, cfg, loader, vocab, params)  # compile pass
+        dog.cancel()
+        t0 = time.perf_counter()
+        scores = test_model(ts, cfg, loader, vocab, params)
+        dt = time.perf_counter() - t0
+    loader.close()
+    shutil.rmtree(root)
+
+    cps = n_images / dt
+    print(
+        json.dumps(
+            {
+                "metric": "eval_captions_per_sec_test_model_flow",
+                "value": round(cps, 2),
+                "unit": "captions/s (test_model: decode + host scoring + corpus pass)",
+                "vs_baseline": round(cps / 1250.0, 3),
+                "n_images": n_images,
+                "test_loss_finite": bool(np.isfinite(scores["test_loss"])),
+            }
+        )
+    )
+
+
 def bench_train_e2e(batch: int = 128, n_images: int = 1024):
     """`python bench.py --train_e2e [B]`: the COMPLETE training pipeline
     — JPEG bytes on disk -> loader (native decode, --image_cache) ->
@@ -625,6 +700,9 @@ if __name__ == "__main__":
     elif "--train" in sys.argv:
         args = [a for a in sys.argv[1:] if a not in ("--train",)]
         bench_train(int(args[0]) if args else 256)
+    elif "--eval" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--eval"]
+        bench_eval(int(args[0]) if args else 256)
     elif "--latency" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--latency"]
         bench_latency(int(args[0]) if args else 8)

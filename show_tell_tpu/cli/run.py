@@ -126,15 +126,15 @@ def run(variant: str, argv: Optional[List[str]] = None, data_source: str = "MSCO
         results["train_state"] = ts
 
     if params["is_testing"] and jax.process_count() > 1:
-        # Multi-host: the test phase is a single-host flow (the checkpoint
-        # lives in the PRIMARY's output dir, and N processes would race
-        # the same metric pickles on a shared filesystem).  Workers stop
-        # here; run the eval CLI on one host for a sharded eval.
-        from show_tell_tpu.parallel.multihost import is_primary
-
-        if not is_primary():
-            print("Multi-host: worker process %d skips the test phase (primary runs it)." % jax.process_index())
-            return results
+        # Multi-host test phase: every process runs test_model together —
+        # the eval mesh spans all hosts' devices (decode dp-shards over
+        # DCN+ICI, ids all-gather back), each host scores the identical
+        # gathered captions, and only the primary writes the metric
+        # pickles (evaluation/tester.py).  Requires the checkpoint to be
+        # readable on every host (shared filesystem, or copy it) — the
+        # restore below runs per-process.
+        print("Multi-host test phase: process %d of %d joins the sharded eval."
+              % (jax.process_index(), jax.process_count()))
 
     if params["is_testing"]:
         optimizer = make_optimizer(params["optimizer_type"], params["lr"], params.get("momentum", 0.9))

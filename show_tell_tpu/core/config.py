@@ -162,6 +162,7 @@ def build_arg_parser(
     # --- TPU-native extensions (not present in the reference CLI) ---
     add("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"], help="eval/serving dtype (float32 for parity, bfloat16 for speed; metric deltas pinned <=0.05 by test). Training always runs the f32 parity dtype — its matmuls already take the bf16 MXU pass under jax default precision, so bf16 activations would buy nothing (measured 0.85-0.92 train MFU)")
     add("--dp", type=int, default=0, help="data-parallel mesh size; 0 = use all visible devices")
+    add("--mp", type=int, default=1, help="eval-phase tensor parallelism: shard the decoder's vocab-sized params (output projection, embedding) over this many devices per dp shard (mesh = dp x mp; vocab_size must divide mp). Training stays dp-only (SURVEY.md §2.4)")
     add("--multihost", type=str, default="", help="join a multi-host run: 'coordinator_host:port,num_processes,process_id' (same on every host except the id), or 'auto' for TPU-pod bootstrap; dp then spans all hosts' devices (parallel/multihost.py)")
     add("--use_pallas", type=int, default=-1, help="Pallas fused decode kernels: -1 = measured auto (attention context kernel on TPU, XLA elsewhere), 0 = force off, 1 = force on")
     add("--faithful_beam", type=int, default=0, help="replicate the reference rnn.py beam-search quirks exactly (batch=1) instead of standard cumulative-logprob beam")

@@ -19,13 +19,25 @@ def device_prefetch(
     mesh=None,
     put_indices: Tuple[int, ...] = (1, 2, 3),
     local_indices: Tuple[int, ...] = (),
+    replicated_indices: Tuple[int, ...] = (),
 ) -> Iterator:
     """Yields batches with elements at ``put_indices`` placed on device
     one step ahead.  Non-array elements (e.g. path tuples) pass through.
     local_indices: elements that hold ONLY this process's rows (the
     multi-host process-sharded loader's images) — assembled into the
-    global array via mesh.put_sharded(local_rows=True)."""
-    from show_tell_tpu.parallel.mesh import batch_sharding, put_sharded
+    global array via mesh.put_sharded(local_rows=True).
+
+    A batch whose rows do not divide the mesh's dp axis (the eval
+    loader's drop_last=False tail) is placed fully REPLICATED instead:
+    every device computes that one partial batch whole — bit-identical
+    results, and the inputs stay on the mesh's device set so they can
+    feed the same mesh-placed params (a plain single-device put could
+    not; jit rejects mixed device sets).
+
+    replicated_indices: elements always placed replicated on the mesh
+    (the eval loop's captions/lengths — the host-side scoring reads them
+    back, and a replicated array is addressable on every process)."""
+    from show_tell_tpu.parallel.mesh import batch_sharding, put_sharded, replicated
 
     if not set(local_indices) <= set(put_indices):
         # A local-rows element that is never device_put would flow into
@@ -36,15 +48,34 @@ def device_prefetch(
             % (local_indices, put_indices)
         )
     sharding = batch_sharding(mesh) if mesh is not None else None
+    dp = mesh.shape["dp"] if mesh is not None else 1
 
     def put(batch):
         out = list(batch)
         for i in put_indices:
-            out[i] = (
-                put_sharded(out[i], sharding, local_rows=i in local_indices)
-                if sharding is not None
-                else jax.device_put(out[i])
-            )
+            if sharding is None:
+                out[i] = jax.device_put(out[i])
+                continue
+            sh = sharding
+            if i in replicated_indices:
+                if i in local_indices:
+                    raise ValueError(
+                        "element %d cannot be both replicated and local-rows" % i
+                    )
+                out[i] = put_sharded(out[i], replicated(mesh))
+                continue
+            if out[i].shape[0] % dp:
+                if i in local_indices:
+                    # Partial local rows cannot be assembled replicated
+                    # (each process holds different data); the process-
+                    # sharded loader enforces drop_last so this is a
+                    # caller bug, not a tail batch.
+                    raise ValueError(
+                        "batch element %d has %d rows, not divisible over dp=%d, "
+                        "and holds local rows only" % (i, out[i].shape[0], dp)
+                    )
+                sh = replicated(mesh)
+            out[i] = put_sharded(out[i], sh, local_rows=i in local_indices)
         return tuple(out)
 
     it = iter(batches)

@@ -68,6 +68,7 @@ def make_test_step(
     early_exit: bool = False,
     end_token: int = 2,
     vocab_sharded: bool = True,
+    mesh=None,
 ):
     """Jitted (loss, decoded ids) for one batch; beam_size>0 uses the
     standard batched beam (non-attention decoders only, like the ref);
@@ -92,17 +93,35 @@ def make_test_step(
     the jitted step the params are Tracers and the sharding inspection
     would conservatively report sharded, silently disabling the fused
     vocab-projection / fused-step / sparse-beam kernels.  Defaults to
-    True (the safe XLA projection) for direct callers."""
+    True (the safe XLA projection) for direct callers.
+
+    mesh: the eval mesh (parallel/mesh.make_mesh).  Batches arrive
+    dp-sharded (device_prefetch) and params replicated/mp-sharded; the
+    decoded ids are pinned to a REPLICATED out-sharding so GSPMD
+    all-gathers the per-chip caption ids over ICI at the end of the
+    step (SURVEY.md §5's eval gather) — every host then holds the full
+    [B, T] ids and the host-side scoring is identical on 1 or N chips."""
 
     dtype = compute_dtype or jnp.float32
     cache_key = (
         cfg, beam_size, augment, use_pallas, dtype, loss_only, early_exit, end_token, vocab_sharded,
+        mesh,
     )
     cached = _TEST_STEP_CACHE.get(cache_key)
     if cached is not None:
         return cached
 
-    @jax.jit
+    if mesh is not None:
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        jit = functools.partial(jax.jit, out_shardings=(rep, rep))
+    else:
+        jit = jax.jit
+
+    @jit
     def run(trainable, frozen, bn_state, images_u8, captions, lengths, key):
         images = preprocess_images(images_u8, key, augment=augment, dtype=dtype)
         params = merge_params(trainable, frozen)
@@ -169,6 +188,38 @@ def test_model(
             bn_state=cast(train_state.bn_state),
         )
 
+    # ---- eval mesh: the north-star val2014 workload must use ALL chips.
+    # Mirrors the train loop's condition: dp defaults to every visible
+    # device (reference utils.py:147-247 runs eval on the one GPU; here a
+    # v5e-8 decodes 8 batch shards per step).  --mp additionally tensor-
+    # shards the decoder's vocab-sized params (serve.Captioner's rule).
+    # Full batches shard over dp; the drop_last=False tail batch runs
+    # replicated (device_prefetch) — bit-identical scores either way.
+    mp = int(params.get("mp", 1) or 1)
+    n_dev = int(params.get("dp", 0) or 0) or len(jax.devices()) // mp
+    eval_batch = getattr(data_loader, "batch_size", params.get("batch_size", 0))
+    mesh = None
+    if n_dev * mp > 1 and eval_batch and eval_batch % n_dev == 0:
+        from show_tell_tpu.parallel.mesh import make_mesh, replicate, shard_train_state
+
+        if mp > 1 and cfg.vocab_size % mp:
+            raise ValueError(
+                "--mp %d does not divide vocab_size %d; the eval loss path "
+                "cannot pad the vocab (serve.Captioner can — decode-only)"
+                % (mp, cfg.vocab_size)
+            )
+        mesh = make_mesh(dp=n_dev, mp=mp)
+        train_state = shard_train_state(mesh, train_state, tensor_parallel=(mp > 1))
+        print("Data-parallel eval over %d devices%s."
+              % (n_dev * mp, " (mp=%d vocab-sharded)" % mp if mp > 1 else ""))
+    elif mp > 1 or int(params.get("dp", 0)) > 1:
+        # An explicit parallel request that cannot form a mesh must not
+        # silently fall back to one device.
+        raise ValueError(
+            "eval mesh dp=%d x mp=%d cannot form: %d devices visible and the "
+            "eval batch size %s must divide dp" % (n_dev, mp, len(jax.devices()), eval_batch)
+        )
+
     eval_augment = bool(params.get("eval_augment", 1))
     eval_dtype = jnp.bfloat16 if params.get("compute_dtype") == "bfloat16" else jnp.float32
     use_faithful = faithful_beam and beam_size > 0
@@ -192,13 +243,21 @@ def test_model(
         vocab_sharded=vocab_projection_is_sharded(
             train_state.trainable["decoder"]["linear"]
         ),
+        mesh=mesh,
     )
     key = jax.random.PRNGKey(seed)
 
     start_time = time.time()
     print("Testing started.")
     print("Sub-batch size - ", sub_batch_size)
-    for idx, (img_paths, images, captions, lengths) in enumerate(data_loader):
+    # Batches are device_put (dp-sharded under a mesh) one step ahead so
+    # the H2D transfer overlaps the previous batch's decode — the train
+    # loop's prefetch pattern (data/device_prefetch.py).
+    from show_tell_tpu.data.device_prefetch import device_prefetch
+
+    for idx, (img_paths, images, captions, lengths) in enumerate(
+        device_prefetch(data_loader, mesh=mesh, replicated_indices=(2, 3))
+    ):
         if idx == sub_batch_size:
             break
         key, sub = jax.random.split(key)
@@ -259,10 +318,18 @@ def test_model(
         )
     )
 
-    with open(os.path.join(params["output_dir"], "Target_Words_Dict.pickle"), "wb") as f:
-        pickle.dump(target_caption_full, f)
-    with open(os.path.join(params["output_dir"], "Candidate_Words_Dict.pickle"), "wb") as f:
-        pickle.dump(candidate_caption_full, f)
+    # Multi-host: every process holds identical captions (decoded ids are
+    # all-gathered on device, loaders are deterministic), so each computes
+    # the same scores; only the PRIMARY writes the metric pickles — N
+    # processes racing the same files on a shared filesystem would tear
+    # them (same rule as train checkpoints).
+    from show_tell_tpu.parallel.multihost import is_primary
+
+    if is_primary():
+        with open(os.path.join(params["output_dir"], "Target_Words_Dict.pickle"), "wb") as f:
+            pickle.dump(target_caption_full, f)
+        with open(os.path.join(params["output_dir"], "Candidate_Words_Dict.pickle"), "wb") as f:
+            pickle.dump(candidate_caption_full, f)
 
     # ------ per-image nltk corpus BLEU pass (utils.py:232-246) -------- #
     from nltk.translate.bleu_score import SmoothingFunction, corpus_bleu

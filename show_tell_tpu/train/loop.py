@@ -240,12 +240,12 @@ def train(
                     prune_checkpoints(params["output_dir"], int(params["keep_checkpoints"]))
             timer.reset()
 
-            if eval_every_epochs and jax.process_count() > 1 and (epoch + 1) % eval_every_epochs == 0:
-                # The eval step would be a new global-mesh program; running
-                # it per-host on host-local batches would deadlock the
-                # collectives.  Evaluate checkpoints single-host instead.
-                print("Multi-host: skipping in-training eval (run the eval CLI on one host).")
-            elif eval_every_epochs and (epoch + 1) % eval_every_epochs == 0 and test_data_loader is not None:
+            if eval_every_epochs and (epoch + 1) % eval_every_epochs == 0 and test_data_loader is not None:
+                # Multi-host included: every process enters test_model
+                # together — its eval mesh spans all hosts' devices, each
+                # host's test loader yields the identical batch stream
+                # (shuffle=False), and the decoded ids all-gather back to
+                # every host (evaluation/tester.py).
                 from show_tell_tpu.evaluation.tester import test_model
 
                 print("Steps to be taken - %d\n" % params.get("sub_batch_test", 10))

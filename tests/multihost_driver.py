@@ -29,6 +29,77 @@ def make_batch(rng, vocab_size, B=8, T=12, img=32):
     return images, captions, np.ascontiguousarray(lengths)
 
 
+class EvalVocab:
+    """Minimal eval vocab (ids -> words) for the sharded-eval check."""
+
+    def __init__(self, size=40):
+        self.index_to_word = ["<pad>", "<start>", "<end>", "<unk>"] + [
+            "w%d" % i for i in range(4, size)
+        ]
+        self.word_to_index = {w: i for i, w in enumerate(self.index_to_word)}
+
+    def start_token(self):
+        return "<start>"
+
+    def end_token(self):
+        return "<end>"
+
+    def __len__(self):
+        return len(self.index_to_word)
+
+
+class EvalLoader:
+    """2 full batches of 8 + a 3-row tail (replicated on the mesh),
+    deterministic — every host builds the identical global stream."""
+
+    batch_size = 8
+
+    def __init__(self, vocab_size=40, seed=11):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        self.batches = []
+        n = 0
+        for rows in (8, 8, 3):
+            imgs = rng.randint(0, 255, (rows, 32, 32, 3), dtype=np.uint8)
+            lengths = np.sort(rng.randint(4, 10, rows))[::-1].astype(np.int32).copy()
+            caps = np.zeros((rows, 12), np.int32)
+            for b in range(rows):
+                caps[b, : lengths[b]] = rng.randint(4, vocab_size, lengths[b])
+            paths = tuple("img_%d.jpg" % (n + i) for i in range(rows))
+            n += rows
+            self.batches.append((paths, imgs, caps, lengths))
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def run_sharded_eval(out_dir, dp=0):
+    """test_model over the (possibly multi-host) eval mesh; returns the
+    final score dict.  dp=0 -> all global devices (the CLI default)."""
+    import os
+
+    import jax
+
+    from show_tell_tpu.evaluation.tester import test_model
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    cfg = CaptionerConfig(
+        variant="gru", resnet_version=18, embed_dim=24, hidden_dim=32,
+        vocab_size=40, num_layers=2, max_caption_length=8,
+    )
+    ts = create_train_state(jax.random.PRNGKey(5), cfg, make_optimizer("SGD", 0.01, 0.9))
+    params = {"output_dir": out_dir, "dp": dp, "mp": 1, "use_pallas": 0}
+    return test_model(ts, cfg, EvalLoader(), EvalVocab(), params, seed=7)
+
+
 def main():
     pid, port = int(sys.argv[1]), sys.argv[2]
     import jax
@@ -94,11 +165,20 @@ def main():
     agreed_one = bool(multihost_utils.process_allgather(np.asarray(pid == 0)).any())
     agreed_none = bool(multihost_utils.process_allgather(np.asarray(False)).any())
 
+    # Sharded EVAL over the same 2-process runtime: the eval mesh spans
+    # both hosts, decode dp-shards, ids all-gather back on device, every
+    # host scores the identical full captions, only the primary writes
+    # the metric pickles (SURVEY.md §5 / VERDICT r3 ask 5).  out_dir is
+    # shared across processes (argv) — like a real shared filesystem.
+    eval_out = sys.argv[3] if len(sys.argv) > 3 else None
+    scores = run_sharded_eval(eval_out) if eval_out else None
+
     print(
         "RESULT " + json.dumps(
             {"pid": pid, "primary": is_primary(), "losses": losses,
              "checksum": checksum, "losses_local": losses_local,
-             "preempt_agreed_one": agreed_one, "preempt_agreed_none": agreed_none}
+             "preempt_agreed_one": agreed_one, "preempt_agreed_none": agreed_none,
+             "eval_scores": scores}
         ),
         flush=True,
     )

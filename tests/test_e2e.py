@@ -323,17 +323,23 @@ def test_flickr_end_to_end(tmp_path):
     assert "Bleu_1" in scores
 
 
-def test_multihost_worker_skips_test_phase(trained, monkeypatch):
-    """Under multi-host, the testing phase is primary-only: a worker
-    process returns after training instead of crashing on a checkpoint
-    that only the primary wrote (or racing the metric pickles on a
-    shared filesystem).  Simulated single-process via monkeypatched
-    process_count/is_primary."""
+def test_multihost_worker_joins_test_phase_without_writing_pickles(trained, monkeypatch):
+    """Under multi-host, every process runs the test phase (the eval mesh
+    spans all hosts; ids all-gather back so each host scores the full
+    captions), but only the PRIMARY writes the metric pickles — N
+    processes racing the same files on a shared filesystem would tear
+    them.  Simulated single-process via monkeypatched
+    process_count/is_primary; the real 2-process sharded-eval equality
+    run lives in test_multihost.py."""
     import jax
 
     from show_tell_tpu.parallel import multihost
 
     data_root, out_dir, _ = trained
+    for f in ("Target_Words_Dict.pickle", "Candidate_Words_Dict.pickle"):
+        p = os.path.join(out_dir, f)
+        if os.path.exists(p):
+            os.remove(p)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     monkeypatch.setattr(multihost, "is_primary", lambda: False)
     res = run(
@@ -344,4 +350,6 @@ def test_multihost_worker_skips_test_phase(trained, monkeypatch):
             ["--is_training", "0", "--is_testing", "1", "--load_model_test", "model_1"],
         ),
     )
-    assert "scores" not in res  # worker stopped before the test phase
+    assert np.isfinite(res["scores"]["Bleu_1"])  # worker ran the eval...
+    for f in ("Target_Words_Dict.pickle", "Candidate_Words_Dict.pickle"):
+        assert not os.path.exists(os.path.join(out_dir, f)), f  # ...primary owns the pickles

@@ -57,10 +57,12 @@ def _single_process_reference():
     return losses, checksum
 
 
-def test_two_process_dp8_matches_single_process():
+def test_two_process_dp8_matches_single_process(tmp_path):
     assert len(jax.devices()) >= 8
     ref_losses, ref_checksum = _single_process_reference()
 
+    eval_dir = str(tmp_path / "eval_out")
+    os.makedirs(eval_dir, exist_ok=True)
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -72,7 +74,7 @@ def test_two_process_dp8_matches_single_process():
     driver = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_driver.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, driver, str(pid), str(port)],
+            [sys.executable, driver, str(pid), str(port), eval_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for pid in (0, 1)
@@ -113,6 +115,26 @@ def test_two_process_dp8_matches_single_process():
     for r in results.values():
         assert r["preempt_agreed_one"] is True
         assert r["preempt_agreed_none"] is False
+
+    # ---- multi-host sharded EVAL (VERDICT r3 ask 5): the 2-process
+    # test_model run must produce the single-process score dict.  Decoded
+    # ids all-gather on device, so the word-level metrics are bit-equal;
+    # the teacher-forced loss crosses Gloo reductions (tolerance).
+    from multihost_driver import run_sharded_eval
+
+    single = run_sharded_eval(str(tmp_path / "eval_single"), dp=8)
+    for r in results.values():
+        got = r["eval_scores"]
+        assert got is not None
+        for k in single:
+            if k == "test_loss":
+                np.testing.assert_allclose(got[k], single[k], rtol=1e-5)
+            else:
+                assert got[k] == single[k], (k, got[k], single[k])
+    # both processes ran the eval but only the PRIMARY wrote the pickles
+    # into the shared out dir (worker writes would race/tear them)
+    for f in ("Target_Words_Dict.pickle", "Candidate_Words_Dict.pickle"):
+        assert os.path.isfile(os.path.join(eval_dir, f)), f
 
 
 def test_make_mesh_rejects_processless_multihost_mesh(monkeypatch):
