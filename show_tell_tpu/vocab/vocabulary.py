@@ -10,15 +10,25 @@ Mirrors reference vocab_builder.py:11-102 semantics:
   * result is pickled to ``params['vocab_path']`` and reloaded when present
     (vocab_builder.py:58-61, 98-100).
 
-Pickle compatibility: a ``vocab.pkl`` produced by the *reference* stores a
-``vocab_builder.DatasetVocabulary`` instance.  ``load_vocab`` remaps that
-module path onto this class so reference-built vocab files load unchanged.
+Pickle compatibility is BOTH ways (vocab_builder.py:58-61, 98-100):
+  * a ``vocab.pkl`` produced by the *reference* stores a
+    ``vocab_builder.DatasetVocabulary`` instance; ``load_vocab`` remaps
+    that module path onto this class so reference files load unchanged;
+  * ``save_vocab`` writes the pickle under that SAME module path
+    (``vocab_builder.DatasetVocabulary``), so the reference's own
+    ``get_vocabulary`` unpickles a vocab saved here bit-identically —
+    a reference user can hand their training dirs to this framework and
+    back without rebuilding vocabularies.  Loading such a file in *this*
+    package must go through ``load_vocab`` (plain ``pickle.load`` would
+    try to import ``vocab_builder``).
 """
 
 from __future__ import annotations
 
 import os
 import pickle
+import sys
+import types
 from collections import Counter
 from typing import Any, Dict
 
@@ -76,15 +86,56 @@ def load_vocab(path: str) -> DatasetVocabulary:
     return vocab
 
 
+class _ReferenceShim(object):
+    """Placeholder class pickled under the reference's module path; its
+    instances carry only the vocabulary __dict__ state (the reference
+    class pickles the same way — plain attribute BUILD)."""
+
+
+_ReferenceShim.__module__ = "vocab_builder"
+_ReferenceShim.__name__ = _ReferenceShim.__qualname__ = "DatasetVocabulary"
+
+
 def save_vocab(vocab: DatasetVocabulary, path: str) -> None:
     """Atomic write (tmp + rename): under multi-host every process may
     build and save the identical vocab concurrently into a shared
     output dir; a plain open(path, 'wb') could hand another process a
-    torn pickle mid-write."""
-    tmp = "%s.tmp.%d" % (path, os.getpid())
-    with open(tmp, "wb") as f:
-        pickle.dump(vocab, f)
-    os.replace(tmp, path)
+    torn pickle mid-write.
+
+    The stream stores the object under the REFERENCE's class path
+    (``vocab_builder.DatasetVocabulary``) so the reference's own
+    ``get_vocabulary`` (vocab_builder.py:58-61) unpickles it directly —
+    the round-trip counterpart of ``load_vocab``'s remap.  When the real
+    reference module is already imported its class is used (pickle
+    verifies module attribute identity); otherwise a stub module is
+    registered for the duration of the dump."""
+    prior = sys.modules.get("vocab_builder")
+    mod = prior
+    transient = mod is None or not hasattr(mod, "DatasetVocabulary")
+    if transient:
+        mod = types.ModuleType("vocab_builder")
+        mod.DatasetVocabulary = _ReferenceShim
+        sys.modules["vocab_builder"] = mod
+    try:
+        cls = mod.DatasetVocabulary
+        obj = cls.__new__(cls)
+        obj.__dict__.update(
+            {
+                "word_to_index": dict(vocab.word_to_index),
+                "index_to_word": dict(vocab.index_to_word),
+                "index": int(vocab.index),
+            }
+        )
+        tmp = "%s.tmp.%d" % (path, os.getpid())
+        with open(tmp, "wb") as f:
+            pickle.dump(obj, f)
+        os.replace(tmp, path)
+    finally:
+        if transient:
+            if prior is None:
+                del sys.modules["vocab_builder"]
+            else:
+                sys.modules["vocab_builder"] = prior
 
 
 def get_vocabulary(dataset: str, params: Dict[str, Any]) -> DatasetVocabulary:

@@ -295,6 +295,40 @@ def test_vocab_differential_vs_live_reference(tmp_path, monkeypatch, threshold):
     assert loaded.word_to_index == our_vocab.word_to_index
     assert type(loaded).__module__.startswith("show_tell_tpu")
 
+    # ...and the ROUND-TRIP: the reference's own get_vocabulary must
+    # unpickle the vocab WE saved bit-identically (vocab_builder.py:58-61
+    # takes the load branch because the file exists).  save_vocab writes
+    # the stream under the reference's class path, so no shim is needed
+    # on the reference side.
+    ref_loaded = ref_mod.get_vocabulary("MSCOCO", dict(params, vocab_path=ours_params["vocab_path"]))
+    assert isinstance(ref_loaded, ref_mod.DatasetVocabulary)
+    assert ref_loaded.word_to_index == our_vocab.word_to_index
+    assert ref_loaded.index_to_word == our_vocab.index_to_word
+    assert ref_loaded.index == our_vocab.index
+
+
+def test_save_vocab_reference_class_path_without_reference(tmp_path):
+    """save_vocab writes the reference's class path even when no
+    vocab_builder module exists (the stub is transient: sys.modules is
+    untouched afterwards), and load_vocab round-trips the file."""
+    import sys
+
+    from show_tell_tpu.vocab.vocabulary import DatasetVocabulary, save_vocab
+
+    assert "vocab_builder" not in sys.modules
+    v = DatasetVocabulary()
+    for w in ["<pad>", "<start>", "<end>", "<unk>", "cat"]:
+        v.add_new_word(w)
+    path = str(tmp_path / "v.pkl")
+    save_vocab(v, path)
+    assert "vocab_builder" not in sys.modules  # stub cleaned up
+    raw = open(path, "rb").read()
+    assert b"vocab_builder" in raw and b"DatasetVocabulary" in raw
+    loaded = load_vocab(path)
+    assert loaded.word_to_index == v.word_to_index
+    assert loaded.index_to_word == v.index_to_word
+    assert loaded.index == v.index == 5
+
 
 @pytest.mark.skipif(not os.path.exists(REF_VOCAB_BUILDER), reason="reference checkout not available")
 def test_flickr_vocab_differential_vs_live_reference(tmp_path, monkeypatch):
