@@ -201,6 +201,7 @@ def beam_search_decode(
     use_pallas: "bool | None" = None,
     early_exit: bool = False,
     vocab_sharded: "bool | None" = None,
+    fused_step: "str | None | bool" = None,
 ) -> jax.Array:
     """Beam over the GRU/LSTM captioner; step 0 consumes the image
     feature (rnn.py:41).  Returns [B, max_caption_length] ids.
@@ -211,7 +212,18 @@ def beam_search_decode(
     the per-step vocab projection through the fused projection+top-k
     kernel — the [B*K, V] logits and the K*V-wide XLA top_k collapse to
     [B*K, K] candidates.  Identical hypotheses (see _beam_engine).
-    vocab_sharded: see _sparse_projection (jitted callers pass it)."""
+    vocab_sharded: see _sparse_projection (jitted callers pass it).
+
+    fused_step: fuse the L-layer recurrence INTO the projection — the
+    beam analogue of the greedy fused decode step (the reference's
+    rnn.py:60-108 hot loop in one Mosaic invocation per step,
+    ops/fused_beam_pallas.py).  'dense' keeps XLA log_softmax+top_k on
+    the kernel's [B*K, V] logits; 'topk' runs the shared per-block
+    top-k inside the kernel ([B*K, K] candidates out).  None = measured
+    auto (ops.pallas_beam_fused_default); False = off.  Identical
+    hypotheses either way (tested).  Takes precedence over the sparse
+    projection kernel (it subsumes the projection); unavailable when
+    the projection is mp(vocab)-sharded."""
     B, _ = cnn_feature.shape
     K, T = beam_size, cfg.max_caption_length
     step = stack_step(cfg.cell_type)
@@ -223,11 +235,61 @@ def beam_search_decode(
         from show_tell_tpu.ops import pallas_beam_default
 
         use_pallas = pallas_beam_default()
-    sparse_proj = _sparse_projection(params, K, vocab_sharded) if use_pallas else None
+    if fused_step is None:
+        from show_tell_tpu.ops import pallas_beam_fused_default
+
+        fused_step = pallas_beam_fused_default()
+    if fused_step:
+        if vocab_sharded is None:
+            from show_tell_tpu.ops import vocab_projection_is_sharded
+
+            fused_ok = not vocab_projection_is_sharded(params["linear"])
+        else:
+            fused_ok = not vocab_sharded
+        if not fused_ok:
+            fused_step = False  # GSPMD keeps the vocab-axis collectives (XLA path)
 
     state0 = init_state(cfg.cell_type, cfg.num_layers, B, cfg.hidden_dim, cnn_feature.dtype)
     top, state1 = step(params["rnn"], cnn_feature, state0)
     logp0 = jax.nn.log_softmax(project(top), axis=-1)
+
+    if fused_step:
+        from show_tell_tpu.ops.fused_beam_pallas import (
+            fused_dense_step_pallas,
+            fused_topk_step_pallas,
+        )
+        from show_tell_tpu.ops.rnn_pallas import prepare_rnn_weights
+        from show_tell_tpu.ops.vocab_pallas import prepare_vocab
+
+        interpret = jax.default_backend() != "tpu"
+        stacked = prepare_rnn_weights(params["rnn"])
+        vocab = prepare_vocab(params["linear"])  # padded ONCE, outside the scan
+        n_vocab = params["linear"]["w"].shape[1]
+        sparse = fused_step == "topk"
+        if sparse:
+
+            def step_fn(tokens, state):
+                x = params["embedding"][tokens]
+                return fused_topk_step_pallas(
+                    cfg.cell_type, stacked, vocab, x, state, K, interpret=interpret
+                )
+
+        else:
+
+            def step_fn(tokens, state):
+                x = params["embedding"][tokens]
+                logits, state2 = fused_dense_step_pallas(
+                    cfg.cell_type, stacked, vocab, x, state, n_vocab, interpret=interpret
+                )
+                return jax.nn.log_softmax(logits, axis=-1), state2
+
+        tile, gather = _rnn_state_helpers(B, K)
+        return _beam_engine(
+            logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token,
+            sparse=sparse, early_exit=early_exit,
+        )
+
+    sparse_proj = _sparse_projection(params, K, vocab_sharded) if use_pallas else None
 
     if sparse_proj is not None:
 

@@ -39,6 +39,17 @@ def pallas_beam_default() -> bool:
     return False
 
 
+def pallas_beam_fused_default():
+    """Auto policy for the fused recurrence+projection BEAM step
+    (ops/fused_beam_pallas.py): 'dense' | 'topk' | None (off).
+
+    Measured round 4 (tools/tpu_smoke.py --bench, T=200-amplified
+    protocol, B=256 bf16 serving shapes): pending — returns None until
+    the on-chip A/B lands; the kernels remain reachable via
+    beam_search_decode(fused_step=...)."""
+    return None
+
+
 def vocab_projection_is_sharded(linear) -> bool:
     """True when the output projection is tensor-sharded (mp > 1 in
     parallel/mesh.py's vocab-axis rule).  The fused projection+argmax

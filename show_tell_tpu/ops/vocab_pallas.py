@@ -178,27 +178,30 @@ def project_argmax_pallas(
     return _partitioned(block_v, interpret)(prepared["w"], prepared["b"], top)
 
 
-def _topk_kernel(top_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, m_sc, s_sc, *, n_blocks, block_v, k):
-    """Per-block top-k + online logsumexp.  Beam search only needs each
-    row's k best continuations and the softmax normalizer; the global
-    top-k over all blocks is the (cheap, [B, n_blocks*k]-wide) XLA
-    reduction of this kernel's output — the [B, V] logits tensor itself
-    never reaches HBM."""
-    j = pl.program_id(1)
-    logits = (
-        jnp.dot(top_ref[...], w_ref[...], preferred_element_type=jnp.float32)
-        + b_ref[...].astype(jnp.float32)
-    )  # [Bb, block_v]
-
+def topk_block_stage(
+    logits, j, is_first, is_last, block_v, k, vals_ref, idx_ref, lse_ref, m_sc, s_sc
+):
+    """One vocab block's contribution to per-block top-k + online
+    logsumexp.  Beam search only needs each row's k best continuations
+    and the softmax normalizer; the global top-k over all blocks is the
+    (cheap, [B, n_blocks*k]-wide) XLA reduction of the kernel's output —
+    the [B, V] logits tensor itself never reaches HBM.  is_first/is_last
+    are the first/last vocab block of THIS batch block (the standalone
+    kernel uses j==0 / j==n_blocks-1; the fused beam step's vocab stages
+    start after its recurrence stages).  Shared by the standalone
+    projection+top-k kernel and the fused recurrence+projection beam
+    kernels (ops/fused_beam_pallas.py) — ONE source of truth for the
+    parity-critical top-k tie rule (first index wins, like
+    jax.lax.top_k)."""
     bm = jnp.max(logits, axis=1, keepdims=True)
     bs = jnp.sum(jnp.exp(logits - bm), axis=1, keepdims=True)
 
-    @pl.when(j == 0)
+    @pl.when(is_first)
     def _():
         m_sc[...] = bm
         s_sc[...] = bs
 
-    @pl.when(j > 0)
+    @pl.when(jnp.logical_not(is_first))
     def _():
         m2 = jnp.maximum(m_sc[...], bm)
         s_sc[...] = s_sc[...] * jnp.exp(m_sc[...] - m2) + bs * jnp.exp(bm - m2)
@@ -219,9 +222,21 @@ def _topk_kernel(top_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, m_sc, s_sc, 
         idx_ref[0, :, t : t + 1] = arg + j * block_v
         vals = jnp.where(iota == arg, jnp.float32(-3e38), vals)
 
-    @pl.when(j == n_blocks - 1)
+    @pl.when(is_last)
     def _():
         lse_ref[...] = m_sc[...] + jnp.log(s_sc[...])
+
+
+def _topk_kernel(top_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, m_sc, s_sc, *, n_blocks, block_v, k):
+    j = pl.program_id(1)
+    logits = (
+        jnp.dot(top_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...].astype(jnp.float32)
+    )  # [Bb, block_v]
+    topk_block_stage(
+        logits, j, j == 0, j == n_blocks - 1, block_v, k,
+        vals_ref, idx_ref, lse_ref, m_sc, s_sc,
+    )
 
 
 def _project_topk_raw(w, b, top, *, k, block_v, interpret):

@@ -374,6 +374,31 @@ def test_beam_sparse_projection_matches_dense():
         np.testing.assert_array_equal(sparse, dense, err_msg="%s bias=%s" % (cell, bias))
 
 
+def test_beam_fused_step_matches_xla():
+    """The fused recurrence+projection beam step (both variants: 'dense'
+    logits out, and 'topk' sparse candidates out —
+    ops/fused_beam_pallas.py) must produce bit-identical hypotheses to
+    the XLA path, for both cells, incl. early-retiring models and the
+    early_exit while_loop engine."""
+    from show_tell_tpu.decode.beam import beam_search_decode
+
+    for cell, bias in (("gru", 0.0), ("lstm", 0.0), ("gru", 3.0)):
+        cfg = DecoderConfig(cell, E, H, V, L, max_caption_length=9)
+        params = init_decoder_params(jax.random.PRNGKey(8), cfg)
+        params = dict(params)
+        params["linear"] = dict(params["linear"])
+        params["linear"]["b"] = params["linear"]["b"].at[END].add(bias)
+        feat = jnp.asarray(np.random.RandomState(9).randn(4, E).astype(np.float32))
+        ref = np.asarray(beam_search_decode(params, cfg, feat, 3, use_pallas=False, fused_step=False))
+        for variant in ("dense", "topk"):
+            got = np.asarray(beam_search_decode(params, cfg, feat, 3, fused_step=variant))
+            np.testing.assert_array_equal(got, ref, err_msg="%s bias=%s %s" % (cell, bias, variant))
+        ee = np.asarray(
+            beam_search_decode(params, cfg, feat, 3, fused_step="topk", early_exit=True)
+        )
+        np.testing.assert_array_equal(ee, ref, err_msg="%s bias=%s early_exit" % (cell, bias))
+
+
 def test_beam_early_exit_identical_ids():
     """early_exit beam (while_loop, stops when every beam retired) must
     return bit-identical ids to the full T-step scan — including models

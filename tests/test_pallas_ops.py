@@ -195,6 +195,146 @@ def test_fused_decode_step_per_shard_row_padding():
         fsp._pick_block_b, fsp._pad_rows = orig_pick, orig_pad
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_fused_beam_step_matches_xla_step(cell):
+    """The fused beam-step kernels (recurrence + vocab projection in ONE
+    invocation, ops/fused_beam_pallas.py) == the XLA stack step followed
+    by the projection: dense variant returns the exact logits (sliced
+    back to V), topk variant returns lax.top_k(log_softmax(logits), k)
+    with identical ids.  Incl. layer-0 input padding (E < H) and vocab
+    padding (V=70 onto the block grid)."""
+    from show_tell_tpu.models.rnn_cells import stack_step
+    from show_tell_tpu.ops.fused_beam_pallas import (
+        fused_dense_step_pallas,
+        fused_topk_step_pallas,
+    )
+    from show_tell_tpu.ops.rnn_pallas import prepare_rnn_weights
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab
+
+    B, E, H, L, V, K = 12, 64, 128, 3, 70, 3
+    cfg = DecoderConfig(cell, E, H, V, L)
+    params = init_decoder_params(jax.random.PRNGKey(23), cfg)
+    stacked = prepare_rnn_weights(params["rnn"])
+    vocab = prepare_vocab(params["linear"], block_v=32)
+    rng = np.random.RandomState(24)
+    x = jnp.asarray(rng.randn(B, E).astype(np.float32))
+    hs = jnp.asarray(rng.randn(L, B, H).astype(np.float32))
+    if cell == "lstm":
+        cs = jnp.asarray(rng.randn(L, B, H).astype(np.float32))
+        state = (hs, cs)
+    else:
+        state = hs
+    ref_top, ref_state = stack_step(cell)(params["rnn"], x, state)
+    ref_logits = jnp.dot(ref_top, params["linear"]["w"]) + params["linear"]["b"]
+
+    logits, st_d = fused_dense_step_pallas(cell, stacked, vocab, x, state, V, block_v=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_d), jax.tree.leaves(ref_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    (logp, ids), st_k = fused_topk_step_pallas(cell, stacked, vocab, x, state, K, block_v=32, interpret=True)
+    ref_lp, ref_ids = jax.lax.top_k(jax.nn.log_softmax(ref_logits, axis=-1), K)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(ref_lp), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    for a, b in zip(jax.tree.leaves(st_k), jax.tree.leaves(ref_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_beam_step_per_shard_row_padding():
+    """B*K above the row envelope and NOT a block multiple (beam's 768
+    rows over the 512 cap): the raw fns pad rows per-shard and slice the
+    pad back off — forced by shrinking the envelope to 16 so B=24 pads
+    to 32 and splits into two blocks; both kernel variants."""
+    from show_tell_tpu.models.rnn_cells import stack_step_gru
+    from show_tell_tpu.ops import fused_beam_pallas as fbp
+    from show_tell_tpu.ops.rnn_pallas import prepare_rnn_weights
+    from show_tell_tpu.ops.vocab_pallas import prepare_vocab
+
+    B, E, H, L, V, K = 24, 32, 64, 2, 40, 2
+    cfg = DecoderConfig("gru", E, H, V, L)
+    params = init_decoder_params(jax.random.PRNGKey(29), cfg)
+    stacked = prepare_rnn_weights(params["rnn"])
+    vocab = prepare_vocab(params["linear"], block_v=16)
+    rng = np.random.RandomState(31)
+    x = jnp.asarray(rng.randn(B, E).astype(np.float32))
+    hs = jnp.asarray(rng.randn(L, B, H).astype(np.float32))
+    orig_pick, orig_pad = fbp._pick_block_b, fbp._pad_rows
+    fbp._pick_block_b = lambda b: b if b <= 16 else 16
+    fbp._pad_rows = lambda b: (-b) % 16 if b > 16 else 0
+    try:
+        ref_top, ref_hs = stack_step_gru(params["rnn"], x, hs)
+        ref_logits = jnp.dot(ref_top, params["linear"]["w"]) + params["linear"]["b"]
+        logits, new_hs = fbp.fused_dense_step_pallas("gru", stacked, vocab, x, hs, V, block_v=16, interpret=True)
+        assert logits.shape == (B, V) and new_hs.shape == (L, B, H)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_hs), np.asarray(ref_hs), rtol=1e-5, atol=1e-5)
+
+        (logp, ids), new_hs2 = fbp.fused_topk_step_pallas("gru", stacked, vocab, x, hs, K, block_v=16, interpret=True)
+        ref_lp, ref_ids = jax.lax.top_k(jax.nn.log_softmax(ref_logits, axis=-1), K)
+        np.testing.assert_allclose(np.asarray(logp), np.asarray(ref_lp), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+        np.testing.assert_allclose(np.asarray(new_hs2), np.asarray(ref_hs), rtol=1e-5, atol=1e-5)
+    finally:
+        fbp._pick_block_b, fbp._pad_rows = orig_pick, orig_pad
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_fused_attn_decode_matches_xla(cell):
+    """The FULLY fused attention decode step (attention + embed-space
+    context + L-layer recurrence + projection + argmax in ONE invocation,
+    ops/fused_attn_pallas.py) must produce the same ids as the XLA
+    attention decode — incl. the feats_e hoist's reassociated math, the
+    L=1 no-upper-layers edge, and the early-exit while_loop engine."""
+    from show_tell_tpu.models.attention import (
+        AttnDecoderConfig,
+        attn_greedy_decode,
+        init_attn_decoder_params,
+    )
+    from show_tell_tpu.ops.fused_attn_pallas import attn_greedy_decode_fused_pallas
+
+    for L_ in (1, 3):
+        B, E_, C, A, H_, V_, P, T = 6, 12, 20, 14, 16, 37, 5, 7
+        acfg = AttnDecoderConfig(cell, E_, C, A, H_, V_, L_, max_caption_length=T)
+        params = init_attn_decoder_params(jax.random.PRNGKey(3), acfg)
+        feats = jnp.asarray(np.random.RandomState(4).randn(B, C, P).astype(np.float32))
+        ref = np.asarray(attn_greedy_decode(params, acfg, feats, 1))
+        got = np.asarray(attn_greedy_decode_fused_pallas(params, acfg, feats, 1, interpret=True))
+        np.testing.assert_array_equal(got, ref, err_msg="L=%d" % L_)
+        ee = np.asarray(
+            attn_greedy_decode_fused_pallas(params, acfg, feats, 1, interpret=True, end_token=2)
+        )
+        ref_ee = np.asarray(attn_greedy_decode(params, acfg, feats, 1, end_token=2))
+        np.testing.assert_array_equal(ee, ref_ee, err_msg="L=%d early_exit" % L_)
+
+
+def test_fused_attn_decode_row_padding_and_sub_blocks():
+    """B above the attention row envelope and NOT a multiple: rows pad
+    per-shard and slice back off; an 8-divisible block exercises the
+    8-row attention sub-stages (sub_b=8), a ragged one the sub_b=1
+    fallback."""
+    from show_tell_tpu.models.attention import (
+        AttnDecoderConfig,
+        attn_greedy_decode,
+        init_attn_decoder_params,
+    )
+    from show_tell_tpu.ops import fused_attn_pallas as fap
+
+    orig_pick, orig_pad = fap._attn_pick_block_b, fap._attn_pad_rows
+    fap._attn_pick_block_b = lambda b: b if b <= 16 else 16
+    fap._attn_pad_rows = lambda b: (-b) % 16 if b > 16 else 0
+    try:
+        for B in (24, 16):  # 24 -> pads to 32, two 16-row blocks (sub_b=8)
+            E_, C, A, H_, V_, P, T, L_ = 12, 20, 14, 16, 37, 5, 6, 2
+            acfg = AttnDecoderConfig("gru", E_, C, A, H_, V_, L_, max_caption_length=T)
+            params = init_attn_decoder_params(jax.random.PRNGKey(5), acfg)
+            feats = jnp.asarray(np.random.RandomState(6).randn(B, C, P).astype(np.float32))
+            ref = np.asarray(attn_greedy_decode(params, acfg, feats, 1))
+            got = np.asarray(fap.attn_greedy_decode_fused_pallas(params, acfg, feats, 1, interpret=True))
+            np.testing.assert_array_equal(got, ref, err_msg="B=%d" % B)
+    finally:
+        fap._attn_pick_block_b, fap._attn_pad_rows = orig_pick, orig_pad
+
+
 def test_attention_context_pallas_matches_reference():
     from show_tell_tpu.models.attention import (
         AttnDecoderConfig,

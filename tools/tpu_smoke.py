@@ -256,6 +256,26 @@ def bench_decode():
         record("gru_beam3", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
+    # Fused recurrence+projection beam step (ops/fused_beam_pallas.py),
+    # T=200 amplification like gru_greedy_t200 — per-step kernel deltas
+    # need ~8x headroom over the tunnel's +-0.4ms noise.  Both published
+    # beam widths (BASELINE.json configs row 3); 'dense' keeps XLA
+    # log_softmax+top_k, 'topk' extracts per-block candidates in-kernel.
+    print("GRU beam decode, T=200 amplification, fused recurrence+projection:")
+    for K in (3, 5):
+        cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=200)
+        params = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
+        feat_set = variants(jnp.zeros((256, E), bf))
+        base_fn = jax.jit(lambda f, K=K: beam_search_decode(params, cfg, f, K, use_pallas=False, fused_step=False))
+        dense_fn = jax.jit(lambda f, K=K: beam_search_decode(params, cfg, f, K, fused_step="dense"))
+        topk_fn = jax.jit(lambda f, K=K: beam_search_decode(params, cfg, f, K, fused_step="topk"))
+        t_b = timeit(base_fn, feat_set)
+        t_d = timeit(dense_fn, feat_set)
+        t_k = timeit(topk_fn, feat_set)
+        record(f"gru_beam{K}_fused_dense_t200", 256, t_b, t_d)
+        record(f"gru_beam{K}_fused_topk_t200", 256, t_b, t_k)
+        print(f"  K={K} B=256: xla {t_b*1e3:7.2f} ms   fused-dense {t_d*1e3:7.2f} ms ({t_b/t_d:.2f}x)   fused-topk {t_k*1e3:7.2f} ms ({t_b/t_k:.2f}x)")
+
     from show_tell_tpu.decode.beam import attn_beam_search_decode
 
     print("Attention GRU beam-3 decode, 25 steps (context per hypothesis):")
