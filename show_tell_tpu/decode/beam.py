@@ -220,10 +220,12 @@ def beam_search_decode(
     ops/fused_beam_pallas.py).  'dense' keeps XLA log_softmax+top_k on
     the kernel's [B*K, V] logits; 'topk' runs the shared per-block
     top-k inside the kernel ([B*K, K] candidates out).  None = measured
-    auto (ops.pallas_beam_fused_default); False = off.  Identical
-    hypotheses either way (tested).  Takes precedence over the sparse
-    projection kernel (it subsumes the projection); unavailable when
-    the projection is mp(vocab)-sharded."""
+    auto (ops.pallas_beam_fused_default — 'dense' on TPU) when
+    use_pallas is also auto; an EXPLICIT use_pallas=0/1 pins the whole
+    kernel surface the pre-fused way unless fused_step is passed too.
+    False = off.  Identical hypotheses every way (tested).  Takes
+    precedence over the sparse projection kernel (it subsumes the
+    projection); unavailable when the projection is mp(vocab)-sharded."""
     B, _ = cnn_feature.shape
     K, T = beam_size, cfg.max_caption_length
     step = stack_step(cfg.cell_type)
@@ -235,10 +237,15 @@ def beam_search_decode(
         from show_tell_tpu.ops import pallas_beam_default
 
         use_pallas = pallas_beam_default()
-    if fused_step is None:
-        from show_tell_tpu.ops import pallas_beam_fused_default
+        if fused_step is None:
+            from show_tell_tpu.ops import pallas_beam_fused_default
 
-        fused_step = pallas_beam_fused_default()
+            fused_step = pallas_beam_fused_default()
+    elif fused_step is None:
+        # An explicit use_pallas=0/1 pins the WHOLE kernel surface the
+        # pre-fused way (1 = the sparse projection kernel, 0 = pure XLA)
+        # — --use_pallas 0 must really disable every Mosaic kernel.
+        fused_step = False
     if fused_step:
         if vocab_sharded is None:
             from show_tell_tpu.ops import vocab_projection_is_sharded

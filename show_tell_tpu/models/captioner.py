@@ -169,8 +169,11 @@ def captioner_greedy_decode(
     """Eval-mode encode + 25-step batched greedy decode -> [B, 25] ids.
 
     use_pallas: None = measured auto policy (tools/tpu_smoke.py --bench,
-    v5e serving shapes): attention decode uses the fused context +
-    projection kernels (1.38x greedy); pooled GRU greedy uses the FULLY
+    v5e serving shapes): attention decode uses the FULLY fused step
+    (attention + embed-space context + recurrence + projection + argmax
+    in ONE invocation, ops/fused_attn_pallas.py — 1.38x GRU / 1.34x LSTM
+    over the previous composite kernels, 2.28x over XLA; the composite
+    remains the mp-sharded-vocab / f32 fallback); pooled GRU greedy uses the FULLY
     fused step kernel (ops/fused_step_pallas.py — recurrence +
     projection + argmax in one Mosaic invocation, 1.09x/step at
     T-amplified measurement, the reference's always-on cuDNN hot-loop
@@ -201,11 +204,40 @@ def captioner_greedy_decode(
 
             use_pallas = pallas_auto_default()
         if use_pallas:
+            vs = vocab_sharded
+            if vs is None:
+                from show_tell_tpu.ops import vocab_projection_is_sharded
+
+                vs = vocab_projection_is_sharded(params["decoder"]["linear"])
+            dtype = params["decoder"]["embedding"].dtype
+            n_gates = 4 if cfg.decoder_config().cell_type == "lstm" else 3
+            # VMEM guard, like greedy_decode_pallas: the fused attention
+            # step streams double-buffered [H, gates*H] blocks plus the
+            # resident [2E, gates*H] layer-0 weights; bf16 serving shapes
+            # fit, f32 parity shapes don't and keep the composite (whose
+            # projection kernel has its own envelope).
+            gates_bytes = (2 * 2 * cfg.hidden_dim + 2 * cfg.embed_dim) * n_gates * cfg.hidden_dim * jnp.dtype(dtype).itemsize
+            # 14MB: bf16 flagship LSTM (12.6MB estimate) compiled and won
+            # 1.34x on-chip; f32 shapes (18.9MB GRU / 25MB LSTM) don't fit.
+            if not vs and gates_bytes <= 14 * 1024 * 1024:
+                # FULLY fused decode step: attention + embed-space context
+                # + recurrence + projection + argmax in ONE invocation
+                # (ops/fused_attn_pallas.py — measured 1.38x over the
+                # composite kernels, 2.28x over XLA at T=200 B=256).
+                from show_tell_tpu.ops.fused_attn_pallas import attn_greedy_decode_fused_pallas
+
+                return attn_greedy_decode_fused_pallas(
+                    params["decoder"], cfg.decoder_config(), feats, cfg.start_token,
+                    end_token=end_token,
+                )
             from show_tell_tpu.ops.attention_pallas import attn_greedy_decode_pallas
 
+            # mp-sharded vocab (XLA projection keeps GSPMD's vocab-axis
+            # collectives) or f32 shapes: the composite context(+proj)
+            # kernel path.
             return attn_greedy_decode_pallas(
                 params["decoder"], cfg.decoder_config(), feats, cfg.start_token,
-                end_token=end_token, vocab_sharded=vocab_sharded,
+                end_token=end_token, vocab_sharded=vs,
             )
         return attn_mod.attn_greedy_decode(
             params["decoder"], cfg.decoder_config(), feats, cfg.start_token, end_token=end_token

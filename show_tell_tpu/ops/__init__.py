@@ -5,7 +5,10 @@ import jax
 
 def pallas_auto_default() -> bool:
     """The measured `--use_pallas -1` auto policy (tools/tpu_smoke.py
-    --bench): the fused attention context kernel (1.38x greedy) and the
+    --bench): the FULLY fused attention decode step (attention +
+    embed-space context + recurrence + projection + argmax in one
+    invocation, ops/fused_attn_pallas.py — 1.38x GRU / 1.34x LSTM over
+    the previous composite kernels, 2.28x over XLA, T=200 B=256) and the
     fully fused pooled-GRU decode-step kernel (ops/fused_step_pallas.py,
     1.09x per step at T=200-amplified serving shapes — the always-on
     cuDNN-fused hot loop analogue, reference rnn.py:24) win on TPU, so
@@ -43,11 +46,19 @@ def pallas_beam_fused_default():
     """Auto policy for the fused recurrence+projection BEAM step
     (ops/fused_beam_pallas.py): 'dense' | 'topk' | None (off).
 
-    Measured round 4 (tools/tpu_smoke.py --bench, T=200-amplified
-    protocol, B=256 bf16 serving shapes): pending — returns None until
-    the on-chip A/B lands; the kernels remain reachable via
-    beam_search_decode(fused_step=...)."""
-    return None
+    Measured round 4 (T=200-amplified protocol, B=256 bf16 serving
+    shapes, paired runs; rows in smoke_bench.json): the DENSE variant —
+    recurrence fused into the projection, [B*K, V] logits out, XLA
+    log_softmax+top_k unchanged — wins 1.06x at K=3 (100.8 -> 94.7 ms)
+    and 1.04x at K=5 (210.8 -> 202.7 ms): one Mosaic invocation replaces
+    stack-step + projection and the [B*K, H] top-activation HBM
+    round-trip.  The TOPK variant loses (0.88x / 0.86x) for the same
+    reason the standalone sparse kernel did (0.93x): k sequential
+    max/argmax/mask passes per vocab block cost more VPU time than the
+    avoided logits round-trip saves — fusing the recurrence in does not
+    flip that sign.  It stays available (fused_step='topk', equality
+    tested).  On non-TPU backends Mosaic is unavailable: off."""
+    return "dense" if jax.default_backend() == "tpu" else None
 
 
 def vocab_projection_is_sharded(linear) -> bool:

@@ -13,6 +13,8 @@ Covered lockstep (8 steps each):
   * attention LSTM + Adam          (main_attn_LSTM.py: + init_c gradients)
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -125,16 +127,20 @@ def build_torch_pooled(cell):
     return backbone, lin, bn, emb, unit, out
 
 
-def torch_pooled_steps(backbone, lin, bn, emb, unit, out, opt_type, batches):
+def torch_pooled_steps(backbone, lin, bn, emb, unit, out, opt_type, batches, optim=None):
     """Reference training semantics: frozen detached backbone in train
     mode, packed CE over prepended-feature RNN outputs, SGD/Adam over
-    decoder + head (main.py:96-102,136-152)."""
+    decoder + head (main.py:96-102,136-152).  optim: pass an existing
+    optimizer to CONTINUE its momentum/Adam state across calls (the
+    multi-epoch loop lockstep — our loop keeps one optimizer for the
+    whole run and checkpoints restore it across resume)."""
     backbone.train(), lin.train(), bn.train(), emb.train(), unit.train(), out.train()
     trainable = (
         list(emb.parameters()) + list(unit.parameters()) + list(out.parameters())
         + list(lin.parameters()) + list(bn.parameters())
     )
-    optim = make_torch_optimizer(opt_type, trainable, _lr(opt_type))
+    if optim is None:
+        optim = make_torch_optimizer(opt_type, trainable, _lr(opt_type))
     loss_fn = torch.nn.CrossEntropyLoss()
     losses = []
     for images, captions, lengths in batches:
@@ -305,6 +311,168 @@ def test_attention_lockstep_losses_match(cell, opt_type):
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=1e-3)
     assert our_losses[-1] != our_losses[0]
+
+
+class _RecordingLoader:
+    """Wraps the real DataLoader; records exactly the batches the train
+    loop consumed (per epoch) so the torch re-enactment can replay the
+    identical stream regardless of shuffling."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.epochs = []
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        rec = []
+        self.epochs.append(rec)
+        for b in self.inner:
+            rec.append(b)
+            yield b
+
+
+def _replay_preprocessed(epochs, seed):
+    """Re-derive the exact per-step augment keys the jitted train step
+    consumed (ts.rng starts at split(PRNGKey(seed))[1]; each step does
+    (next_rng, k_aug) = split(rng) — train_step.py) and run the SAME
+    device-side preprocessing (random flips + normalize), yielding the
+    float images the step saw.  A resume run restarts the chain: the
+    checkpoint restores weights/optimizer/BN but not the rng
+    (checkpoint.py restore_train_state keeps the fresh ts.rng)."""
+    from show_tell_tpu.data.transforms import preprocess_images
+
+    rng = jax.random.split(jax.random.PRNGKey(seed))[1]
+    out = []
+    for batches in epochs:
+        ep = []
+        for _, images_u8, captions, lengths in batches:
+            rng, k_aug = jax.random.split(rng)
+            imgs = np.asarray(preprocess_images(jnp.asarray(images_u8), k_aug, augment=True))
+            ep.append((imgs, np.asarray(captions), np.asarray(lengths)))
+        out.append(ep)
+    return out
+
+
+def _epoch_losses(out_dir, epoch):
+    import pickle
+
+    with open(os.path.join(out_dir, "model_%d_metrics.ckpt" % epoch), "rb") as f:
+        return [float(x) for x in pickle.load(f)["train_loss"]]
+
+
+def test_full_loop_two_epoch_lockstep_with_resume(tmp_path):
+    """THE composition check (loop o step o loader): >=2 epochs driven by
+    train/loop.py itself on the mini-COCO fixture — crossing epoch-end
+    checkpoints, the in-training eval cadence (epoch 2), and a resume
+    (faithful epoch-0 restart, main.py:116-170 semantics) — with every
+    per-step loss equal to a torch re-enactment of the reference fed the
+    identical batches (recorded from the real loader) and the identical
+    augmented pixels (replayed from the rng chain).  In-training eval
+    must NOT perturb the trajectory (it uses its own key and eval-mode
+    BN): epoch 3 still matches after the epoch-2 eval ran."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import build_mini_coco
+
+    from show_tell_tpu.data.dataset import get_data_loader
+    from show_tell_tpu.train.loop import train
+    from show_tell_tpu.vocab.vocabulary import get_vocabulary
+
+    data_root = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir, exist_ok=True)
+    build_mini_coco(data_root)
+    ann = os.path.join(data_root, "annotations", "captions_train2014.json")
+    img_dir = os.path.join(data_root, "train2014")
+    params = {
+        "data_dir": data_root,
+        "train_ann_path": "annotations/captions_train2014.json",
+        "vocab_path": os.path.join(out_dir, "vocab.pkl"),
+        "vocab_threshold": 1,
+        "ann_path_train": ann,
+        "data_path_train": img_dir,
+        "ann_path_test": ann,
+        "data_path_test": img_dir,
+        "output_dir": out_dir,
+        "batch_size": 4,
+        "shuffle": 1,
+        "num_workers": 0,
+        "num_epochs": 3,
+        "optimizer_type": "SGD",
+        "lr": 0.05,
+        "momentum": MOMENTUM,
+        "variant": "gru",
+        "resnet_version": 18,
+        "embedding_length": E,
+        "num_hidden_units": H,
+        "num_layers": L,
+        "seed": 1,
+        "resume_training": 0,
+        "sub_batch_test": 1,
+        "dp": 1,
+        "use_pallas": 0,
+    }
+    vocab = get_vocabulary("MSCOCO", params)
+    Vv = len(vocab)
+
+    # Torch twin with identical weights (converted, like the raw-step tests).
+    torch.manual_seed(0)
+    backbone, lin, bn = build_torch_encoder()
+    emb = torch.nn.Embedding(Vv, E)
+    unit = torch.nn.GRU(E, H, L, batch_first=True)
+    out = torch.nn.Linear(H, Vv)
+    enc_sd = encoder_sd(backbone, lin, bn)
+    dec_sd = {"embeddings.weight": emb.weight}
+    for k, v in unit.state_dict().items():
+        dec_sd["unit." + k] = v
+    dec_sd["linear.weight"], dec_sd["linear.bias"] = out.weight, out.bias
+    cfg = CaptionerConfig("gru", 18, E, H, Vv, L)
+    enc_params, enc_state = encoder_params_from_torch(enc_sd, cfg.encoder_config())
+    jx_params = {"encoder": enc_params, "decoder": decoder_params_from_torch(dec_sd, L)}
+
+    train_loader = get_data_loader(vocab, params, "train")
+    test_loader = get_data_loader(vocab, params, "test")
+
+    rec = _RecordingLoader(train_loader)
+    train(params, vocab, rec, test_data_loader=test_loader, eval_every_epochs=2,
+          init_params_state=(jx_params, enc_state))
+    ours_run1 = [_epoch_losses(out_dir, ep) for ep in (1, 2, 3)]
+
+    # Resume: faithful epoch-0 restart — optimizer/BN/weights restored
+    # from model_3, the new epoch overwrites model_1 in the same out dir.
+    params2 = dict(params, num_epochs=1, resume_training=1, resume_model_train="auto")
+    rec2 = _RecordingLoader(train_loader)
+    train(params2, vocab, rec2, init_params_state=None)
+    ours_resume = _epoch_losses(out_dir, 1)
+
+    # ---- torch re-enactment over the recorded batches ----
+    replay1 = _replay_preprocessed(rec.epochs, params["seed"])
+    replay2 = _replay_preprocessed(rec2.epochs, params["seed"])  # fresh rng chain
+    backbone.train(), lin.train(), bn.train(), emb.train(), unit.train(), out.train()
+    # ONE optimizer for the whole trajectory: our loop keeps a single
+    # optimizer across epochs and the resume restores its state from the
+    # checkpoint, so torch's momentum buffers must persist across every
+    # epoch AND the resume boundary.
+    optim = make_torch_optimizer(
+        "SGD",
+        list(emb.parameters()) + list(unit.parameters()) + list(out.parameters())
+        + list(lin.parameters()) + list(bn.parameters()),
+        params["lr"],
+    )
+    ref1, ref2 = [], []
+    for replay, sink in ((replay1, ref1), (replay2, ref2)):
+        for ep in replay:
+            sink.append(
+                torch_pooled_steps(backbone, lin, bn, emb, unit, out, "SGD", ep, optim=optim)
+            )
+    flat_ref1 = [l for ep in ref1 for l in ep]
+    flat_ours1 = [l for ep in ours_run1 for l in ep]
+    np.testing.assert_allclose(flat_ours1, flat_ref1, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ours_resume, ref2[0], rtol=2e-3, atol=2e-3)
+    assert flat_ours1[-1] < flat_ours1[0]  # it actually trained
 
 
 def test_pooled_lockstep_long_run():

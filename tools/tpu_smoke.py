@@ -243,6 +243,23 @@ def bench_decode():
         record("attn_greedy", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
+    # FULLY fused attention step (ops/fused_attn_pallas.py) vs the
+    # composite context+projection kernels — T=200 amplification; the
+    # baseline column here is the COMPOSITE (the previous best), so
+    # 'speedup' reads as fused-over-composite.
+    from show_tell_tpu.ops.fused_attn_pallas import attn_greedy_decode_fused_pallas
+
+    print("Attention greedy decode, T=200, FULLY fused step vs composite kernels:")
+    for cell in ("gru", "lstm"):
+        acfg = AttnDecoderConfig(cell, 512, 2048, 512, 512, V, L, max_caption_length=200)
+        ap = jax.tree.map(lambda a: a.astype(bf), init_attn_decoder_params(jax.random.PRNGKey(2), acfg))
+        feat_set = variants(jnp.zeros((256, 2048, 49), bf))
+        comp_fn = jax.jit(lambda f: attn_greedy_decode_pallas(ap, acfg, f, 1, interpret=False))
+        fused_fn = jax.jit(lambda f: attn_greedy_decode_fused_pallas(ap, acfg, f, 1, interpret=False))
+        t_c, t_f = timeit(comp_fn, feat_set), timeit(fused_fn, feat_set)
+        record(f"attn_{cell}_greedy_fused_t200", 256, t_c, t_f)
+        print(f"  {cell} B=256: composite {t_c*1e3:7.2f} ms   FUSED {t_f*1e3:7.2f} ms   ({t_c/t_f:.2f}x)")
+
     from show_tell_tpu.decode.beam import beam_search_decode
 
     print("GRU beam-3 decode, 25 steps (sparse projection+top-k kernel):")
