@@ -285,6 +285,64 @@ def bench_latency(batch: int = 8):
     )
 
 
+def bench_latency_suite():
+    """`python bench.py --latency_suite`: the BASELINE.json p50
+    per-image latency grid — greedy and beam-3, B=1 and B=8, early-exit
+    off/on — one JSON line per config (8 rows).  Early-exit rows use an
+    UNTRAINED model whose captions never emit <end>, so they measure the
+    while_loop engine's worst case (pure overhead), not the caption-
+    length win a trained model sees (see smoke_bench gru_*_ee_floor for
+    the retire-early bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.decode.beam import beam_search_decode
+    from show_tell_tpu.models.captioner import captioner_greedy_decode
+    from show_tell_tpu.models.encoder import encoder_forward
+
+    cfg, params, state = _flagship_params("gru")
+    rng = np.random.RandomState(0)
+    for batch in (1, 8):
+        images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
+        for mode in ("greedy", "beam3"):
+            for ee in (0, 1):
+
+                @jax.jit
+                def serve(images_u8, key, mode=mode, ee=ee):
+                    imgs = preprocess_images(images_u8, key, augment=False, dtype=jnp.bfloat16)
+                    if mode == "greedy":
+                        return captioner_greedy_decode(
+                            params, state, cfg, imgs, end_token=2 if ee else None
+                        )
+                    feats, _ = encoder_forward(
+                        params["encoder"], state, cfg.encoder_config(), imgs, training=False
+                    )
+                    return beam_search_decode(
+                        params["decoder"], cfg.decoder_config(), feats, 3, early_exit=bool(ee)
+                    )
+
+                key = _warmup(serve, batch, warmup=15)
+                lats = []
+                for i in range(30):
+                    t0 = time.perf_counter()
+                    serve(images, jax.random.fold_in(key, 100 + i)).block_until_ready()
+                    lats.append(time.perf_counter() - t0)
+                p50 = sorted(lats)[len(lats) // 2]
+                print(
+                    json.dumps(
+                        {
+                            "metric": "p50_latency_ms_%s_b%d_ee%d" % (mode, batch, ee),
+                            "value": round(p50 * 1e3, 2),
+                            "unit": "ms",
+                            "vs_baseline": round((batch / p50) / 1250.0, 3),
+                            "ms_per_image": round((p50 / batch) * 1e3, 3),
+                        }
+                    ),
+                    flush=True,
+                )
+
+
 def bench_beam(beam: int = 3, batch: int = 256):
     """`python bench.py --beam [K] [B]`: batched beam-search serving
     throughput (BASELINE.json north-star beam configs are widths 3/5).
@@ -703,6 +761,8 @@ if __name__ == "__main__":
     elif "--eval" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--eval"]
         bench_eval(int(args[0]) if args else 256)
+    elif "--latency_suite" in sys.argv:
+        bench_latency_suite()
     elif "--latency" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--latency"]
         bench_latency(int(args[0]) if args else 8)

@@ -330,13 +330,22 @@ def attn_beam_search_decode(
     use_pallas: "bool | None" = None,
     early_exit: bool = False,
     vocab_sharded: "bool | None" = None,
+    fused_step: "str | None | bool" = None,
 ) -> jax.Array:
     """Beam over the soft-attention decoders (framework extension; the
     reference decodes attention models greedily only, rnn_attn.py:77-94).
     Attention context is recomputed per hypothesis each step — via the
     fused Pallas context kernel on TPU (use_pallas=None auto, same
     measured policy as greedy decode; batch-parallel GSPMD rule keeps it
-    on under dp meshes), XLA elsewhere."""
+    on under dp meshes), XLA elsewhere.
+
+    fused_step: 'dense' runs the WHOLE per-hypothesis step (attention +
+    embed-space context + recurrence + projection) as one Mosaic
+    invocation with [B*K, V] logits out (ops/fused_attn_pallas.py — the
+    greedy fused step's beam form); XLA keeps log_softmax + top_k.
+    None = measured auto when use_pallas is also auto; False = off.
+    Falls back when the projection is mp(vocab)-sharded or the shapes
+    exceed the kernel's VMEM envelope (f32 parity)."""
     B = cnn_feature.shape[0]
     K, T = beam_size, cfg.max_caption_length
     step = stack_step(cfg.cell_type)
@@ -387,6 +396,59 @@ def attn_beam_search_decode(
     w0 = params["embedding"][jnp.full((B,), start_token, jnp.int32)]
     top0, state1 = trunk(w0, feats_pm, att1, state0)
     logp0 = jax.nn.log_softmax(project(top0), axis=-1)
+
+    if fused_step is None:
+        if auto:
+            from show_tell_tpu.ops import pallas_beam_fused_default
+
+            fused_step = pallas_beam_fused_default()
+        else:
+            fused_step = False  # explicit use_pallas=0/1 pins the pre-fused surface
+    if fused_step:
+        if vocab_sharded is None:
+            from show_tell_tpu.ops import vocab_projection_is_sharded
+
+            fused_ok = not vocab_projection_is_sharded(params["linear"])
+        else:
+            fused_ok = not vocab_sharded
+        # VMEM envelope (same estimate as the greedy dispatch): f32
+        # parity shapes keep the composite path.
+        import numpy as _np
+
+        n_gates = 4 if cfg.cell_type == "lstm" else 3
+        H = cfg.hidden_dim
+        gates_bytes = (2 * 2 * H + 2 * cfg.embed_dim) * n_gates * H * _np.dtype(
+            params["embedding"].dtype
+        ).itemsize
+        if not fused_ok or gates_bytes > 14 * 1024 * 1024:
+            fused_step = False
+    if fused_step:
+        from show_tell_tpu.ops.fused_attn_pallas import (
+            fused_attn_dense_step_pallas,
+            prepare_attn_decode,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        prep = prepare_attn_decode(params, feats_pm)
+        prep = dict(
+            prep,
+            feats_e=jnp.repeat(prep["feats_e"], K, axis=0),
+            att1=jnp.repeat(prep["att1"], K, axis=0),
+        )
+        n_vocab = params["linear"]["w"].shape[1]
+
+        def step_fn(tokens, state):
+            logits, state2 = fused_attn_dense_step_pallas(
+                prep, cfg.cell_type, params["embedding"][tokens], state, n_vocab,
+                interpret=interpret,
+            )
+            return jax.nn.log_softmax(logits, axis=-1), state2
+
+        tile, gather = _rnn_state_helpers(B, K)
+        return _beam_engine(
+            logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token,
+            sparse=False, early_exit=early_exit,
+        )
 
     if sparse_proj is not None:
 

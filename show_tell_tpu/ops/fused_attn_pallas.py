@@ -79,7 +79,7 @@ def _kernel(
     h_out_ref, c_out_ref, tok_ref,
     # scratch
     x_buf, best_val, best_idx,
-    *, cell_type, n_sub, sub_b, L, n_blocks, block_v, E,
+    *, cell_type, n_sub, sub_b, L, n_blocks, block_v, E, out_mode="argmax",
 ):
     t = pl.program_id(1)
     lstm = cell_type == "lstm"
@@ -138,15 +138,20 @@ def _kernel(
             jnp.dot(x_buf[:, :H], wv_ref[...], preferred_element_type=jnp.float32)
             + bv_ref[...].astype(jnp.float32)
         )  # [Bb, block_v]
-        merge_block_argmax(logits, j, block_v, t == n_sub + L, best_val, best_idx)
+        if out_mode == "dense":
+            tok_ref[...] = logits  # tok_ref doubles as the logits block out
+        else:
+            merge_block_argmax(logits, j, block_v, t == n_sub + L, best_val, best_idx)
 
-    @pl.when(t == n_sub + L + n_blocks - 1)
-    def _():
-        tok_ref[...] = best_idx[...]
+    if out_mode != "dense":
+
+        @pl.when(t == n_sub + L + n_blocks - 1)
+        def _():
+            tok_ref[...] = best_idx[...]
 
 
 def _raw(cell_type, w_emb, feats_e, att1, hs, cs, wdec, bdec, wfull, b_emb,
-         w_ih0, w_ihU, w_hh, b_ih, b_hh, wv, bv, *, block_v, interpret):
+         w_ih0, w_ihU, w_hh, b_ih, b_hh, wv, bv, *, block_v, interpret, out_mode="argmax"):
     L, B, H = hs.shape
     P, E = feats_e.shape[1], feats_e.shape[2]
     A = att1.shape[2]
@@ -161,7 +166,7 @@ def _raw(cell_type, w_emb, feats_e, att1, hs, cs, wdec, bdec, wfull, b_emb,
         cs = jnp.pad(cs, ((0, 0), (0, pad), (0, 0))) if cs is not None else None
         out = _raw(cell_type, w_emb, feats_e, att1, hs, cs, wdec, bdec, wfull, b_emb,
                    w_ih0, w_ihU, w_hh, b_ih, b_hh, wv, bv,
-                   block_v=block_v, interpret=interpret)
+                   block_v=block_v, interpret=interpret, out_mode=out_mode)
         return tuple(o[:, :B] if o.ndim == 3 else o[:B] for o in out)
     Vpad = wv.shape[1]
     assert Vpad % block_v == 0, (Vpad, block_v)
@@ -213,13 +218,21 @@ def _raw(cell_type, w_emb, feats_e, att1, hs, cs, wdec, bdec, wfull, b_emb,
     if lstm:
         out_shape.append(jax.ShapeDtypeStruct((L, B, H), cs.dtype))
         out_specs.append(pl.BlockSpec((1, block_b, H), out_lyr, memory_space=pltpu.VMEM))
-    out_shape.append(jax.ShapeDtypeStruct((B, 1), jnp.int32))
-    out_specs.append(pl.BlockSpec((block_b, 1), lambda bb, t: (bb, 0), memory_space=pltpu.VMEM))
+    if out_mode == "dense":
+        out_shape.append(jax.ShapeDtypeStruct((B, Vpad), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (block_b, block_v),
+            lambda bb, t: (bb, jnp.clip(t - n_sub - L, 0, n_blocks - 1)),
+            memory_space=pltpu.VMEM,
+        ))
+    else:
+        out_shape.append(jax.ShapeDtypeStruct((B, 1), jnp.int32))
+        out_specs.append(pl.BlockSpec((block_b, 1), lambda bb, t: (bb, 0), memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
         _kernel if lstm else _kernel_gru_adapter,
         cell_type=cell_type, n_sub=n_sub, sub_b=sub_b, L=L,
-        n_blocks=n_blocks, block_v=block_v, E=E,
+        n_blocks=n_blocks, block_v=block_v, E=E, out_mode=out_mode,
     )
     return pl.pallas_call(
         kernel,
@@ -250,33 +263,34 @@ def _kernel_gru_adapter(w_emb_ref, feats_e_ref, att1_ref, h_in_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _partitioned(cell_type: str, block_v: int, interpret: bool):
+def _partitioned(cell_type: str, block_v: int, interpret: bool, out_mode: str = "argmax"):
     """Batch-parallel GSPMD rule (ops/partition.py): under a dp mesh the
     fused attention step runs per-shard on the local batch; all weights
     stay replicated.  An mp(vocab)-sharded projection must not route
     here (callers check ops.vocab_projection_is_sharded first)."""
     from show_tell_tpu.ops.partition import batch_partitioned
 
+    tok = "b v" if out_mode == "dense" else "b"
     if cell_type == "lstm":
         return batch_partitioned(
-            functools.partial(_raw, "lstm", block_v=block_v, interpret=interpret),
+            functools.partial(_raw, "lstm", block_v=block_v, interpret=interpret, out_mode=out_mode),
             arg_batch_dims=(0, 0, 0, 1, 1) + (None,) * 11,
             out_batch_dims=(1, 1, 0),
             sharding_rule=(
                 "b e, b p e, b p a, l b h, l b h, h a, a, a, e, i g, m h g, "
-                "l h g, l u g, l u g, h v, u v -> l b h, l b h, b"
+                "l h g, l u g, l u g, h v, u v -> l b h, l b h, " + tok
             ),
         )
     return batch_partitioned(
         lambda w_emb, feats_e, att1, hs, *w: _raw(
             "gru", w_emb, feats_e, att1, hs, None, *w,
-            block_v=block_v, interpret=interpret,
+            block_v=block_v, interpret=interpret, out_mode=out_mode,
         ),
         arg_batch_dims=(0, 0, 0, 1) + (None,) * 11,
         out_batch_dims=(1, 0),
         sharding_rule=(
             "b e, b p e, b p a, l b h, h a, a, a, e, i g, m h g, "
-            "l h g, l u g, l u g, h v, u v -> l b h, b"
+            "l h g, l u g, l u g, h v, u v -> l b h, " + tok
         ),
     )
 
@@ -334,6 +348,34 @@ def fused_attn_decode_step_pallas(
         return tok[:, 0], (new_hs, new_cs)
     new_hs, tok = part(w_emb, prep["feats_e"], prep["att1"], state, *weights)
     return tok[:, 0], new_hs
+
+
+def fused_attn_dense_step_pallas(
+    prep: Dict[str, jax.Array],  # prepare_attn_decode output
+    cell_type: str,
+    w_emb: jax.Array,  # [B, E]
+    state,  # hs | (hs, cs)
+    n_vocab: int,  # unpadded V (logits sliced back to it)
+    block_v: int = VOCAB_BLOCK,
+    interpret: bool = False,
+) -> Tuple[jax.Array, object]:
+    """One fused attention BEAM step, dense logits out: the same single
+    invocation as the greedy step but the vocab stages write [B, Vpad]
+    logits blocks instead of the argmax merge (the measured-best beam
+    form — see ops.pallas_beam_fused_default).  Returns
+    (logits [B, V] f32, new_state)."""
+    part = _partitioned(cell_type, block_v, interpret, "dense")
+    weights = (
+        prep["wdec"], prep["bdec"], prep["wfull"], prep["b_emb"],
+        prep["w_ih0"], prep["w_ihU"], prep["w_hh"], prep["b_ih"], prep["b_hh"],
+        prep["vocab"]["w"], prep["vocab"]["b"],
+    )
+    if cell_type == "lstm":
+        hs, cs = state
+        new_hs, new_cs, logits = part(w_emb, prep["feats_e"], prep["att1"], hs, cs, *weights)
+        return logits[:, :n_vocab], (new_hs, new_cs)
+    new_hs, logits = part(w_emb, prep["feats_e"], prep["att1"], state, *weights)
+    return logits[:, :n_vocab], new_hs
 
 
 def attn_greedy_decode_fused_pallas(

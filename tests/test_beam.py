@@ -399,6 +399,28 @@ def test_beam_fused_step_matches_xla():
         np.testing.assert_array_equal(ee, ref, err_msg="%s bias=%s early_exit" % (cell, bias))
 
 
+def test_attn_beam_fused_step_matches_xla():
+    """The fused attention beam step ('dense': whole per-hypothesis step
+    in one invocation, ops/fused_attn_pallas.py) must produce
+    bit-identical hypotheses to the XLA path — both cells, incl. the
+    early_exit engine."""
+    from show_tell_tpu.decode.beam import attn_beam_search_decode
+    from show_tell_tpu.models.attention import AttnDecoderConfig, init_attn_decoder_params
+
+    C, A, P, K, T = 10, 12, 6, 3, 7
+    for cell in ("gru", "lstm"):
+        acfg = AttnDecoderConfig(cell, E, C, A, H, V, L, max_caption_length=T)
+        params = init_attn_decoder_params(jax.random.PRNGKey(11), acfg)
+        feats = jnp.asarray(np.random.RandomState(12).randn(2, C, P).astype(np.float32))
+        ref = np.asarray(attn_beam_search_decode(params, acfg, feats, K, use_pallas=False, fused_step=False))
+        got = np.asarray(attn_beam_search_decode(params, acfg, feats, K, fused_step="dense"))
+        np.testing.assert_array_equal(got, ref, err_msg=cell)
+        ee = np.asarray(
+            attn_beam_search_decode(params, acfg, feats, K, fused_step="dense", early_exit=True)
+        )
+        np.testing.assert_array_equal(ee, ref, err_msg=cell + " early_exit")
+
+
 def test_beam_early_exit_identical_ids():
     """early_exit beam (while_loop, stops when every beam retired) must
     return bit-identical ids to the full T-step scan — including models

@@ -306,6 +306,20 @@ def bench_decode():
         record("attn_beam3", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
 
+    # Fused attention beam step (whole per-hypothesis step in one
+    # invocation, dense logits out) vs the previous best (context
+    # kernel), T=200 amplification; baseline column = composite.
+    print("Attention GRU beam-3, T=200, fused step vs context-kernel composite:")
+    for B in (128,):
+        acfg = AttnDecoderConfig("gru", 512, 2048, 512, 512, V, L, max_caption_length=200)
+        ap = jax.tree.map(lambda a: a.astype(bf), init_attn_decoder_params(jax.random.PRNGKey(2), acfg))
+        feat_set = variants(jnp.zeros((B, 2048, 49), bf))
+        comp_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, use_pallas=True, fused_step=False))
+        fused_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, fused_step="dense"))
+        t_c, t_f = timeit(comp_fn, feat_set), timeit(fused_fn, feat_set)
+        record("attn_beam3_fused_t200", B, t_c, t_f)
+        print(f"  B={B}: composite {t_c*1e3:7.2f} ms   FUSED {t_f*1e3:7.2f} ms   ({t_c/t_f:.2f}x)")
+
     print("early_exit while_loop vs fixed 25-step scan (GRU, B=256):")
     # Two bounding cases: a random model never emits <end> (the while_loop
     # runs all 25 steps — pure loop overhead vs the scan) and an
