@@ -102,13 +102,16 @@ def run_sharded_eval(out_dir, dp=0):
 
 def main():
     pid, port = int(sys.argv[1]), sys.argv[2]
+    # argv[4]: process count (default 2; the 4-process test passes 4 with
+    # 2 virtual devices per process — same dp=8 global mesh either way).
+    nproc = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # before any backend call
     from show_tell_tpu.parallel.multihost import initialize, is_primary
 
-    initialize("127.0.0.1:%s,2,%d" % (port, pid))
-    assert jax.device_count() == 8 and jax.local_device_count() == 4
+    initialize("127.0.0.1:%s,%d,%d" % (port, nproc, pid))
+    assert jax.device_count() == 8 and jax.local_device_count() == 8 // nproc
 
     import numpy as np
     import jax.numpy as jnp
@@ -148,7 +151,7 @@ def main():
     ts, losses_local = ts0, []
     for images, captions, lengths in batches:
         B = images.shape[0]
-        lo, hi = pid * B // 2, (pid + 1) * B // 2
+        lo, hi = pid * B // nproc, (pid + 1) * B // nproc
         gi = put_sharded(images[lo:hi], sh, local_rows=True)
         gc = put_sharded(captions, sh)
         gl = put_sharded(lengths, sh)
