@@ -7,6 +7,13 @@ each 100 steps.  Afterwards: per-image target/candidate dicts pickled to
 ``Target_Words_Dict.pickle`` / ``Candidate_Words_Dict.pickle``
 (utils.py:226-230) and a second per-image nltk corpus_bleu pass with
 method4 smoothing (utils.py:232-246).
+
+Two performance layers the reference's loop (one GPU, fully serial)
+doesn't have, both output-identical by test: the loop is software-
+pipelined (batch i+1's decode is dispatched before batch i's host
+scoring, so the chip works under the pure-Python scoring), and under
+multi-host the scoring itself round-robin-shards across processes with
+the per-row score tables sum-combined over DCN.
 """
 
 from __future__ import annotations
@@ -32,6 +39,29 @@ from show_tell_tpu.models.captioner import (
 )
 from show_tell_tpu.models.encoder import encoder_forward
 from show_tell_tpu.ops import vocab_projection_is_sharded
+
+
+def _combine_score_table(table: np.ndarray) -> np.ndarray:
+    """Sum-combine a per-row score table across processes.  Each row is
+    computed by exactly ONE process (round-robin shard) and left zero on
+    the others, so the element-wise sum over all processes reconstructs
+    the full table in its original order — means over it are bit-equal
+    to a single process scoring everything.  Identity single-process;
+    the simulated-worker e2e test patches this seam (a real allgather
+    needs the real multi-process runtime, tests/test_multihost.py).
+
+    The float64 rows cross the wire as uint32 BIT PATTERNS: with
+    jax_enable_x64 off, process_allgather would silently truncate f64
+    payloads to f32 (~1e-9 relative error — enough to break the
+    bit-equality contract).  Gathering the bits is exact, and the sum
+    over processes only ever adds +0.0 to each row."""
+    if jax.process_count() == 1:
+        return table
+    from jax.experimental import multihost_utils
+
+    bits = np.ascontiguousarray(table).view(np.uint32)  # f64 [n,k] -> u32 [n,2k]
+    gathered = np.asarray(multihost_utils.process_allgather(bits))
+    return gathered.view(np.float64).sum(axis=0)
 
 
 def create_caption_word_format(tokenized, vocab, flag_blue: bool = False) -> List:
@@ -170,10 +200,27 @@ def test_model(
     seed: int = 1,
 ) -> Dict[str, float]:
     """Run evaluation; returns the final averaged score dict."""
+    SCORE_KEYS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr", "ROUGE_L"]
     test_loss: List[float] = []
-    accum: Dict[str, List[float]] = {k: [] for k in ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr", "ROUGE_L"]}
+    accum: Dict[str, List[float]] = {k: [] for k in SCORE_KEYS}
+    scored_rows: Dict[int, List[float]] = {}  # batch idx -> per-batch scores
     target_caption_full: Dict[str, list] = {}
     candidate_caption_full: Dict[str, list] = {}
+
+    # ---- multi-host: shard the HOST-SIDE scoring by batch.  The decoded
+    # ids are all-gathered on device (replicated out-sharding), so every
+    # process holds every caption; but the expensive pure-Python scoring
+    # (evaluate()'s n-gram counting / CIDEr tf-idf, and the final
+    # per-image corpus-BLEU pass) would otherwise run IDENTICALLY on all
+    # hosts.  Instead process p scores batches with idx % nproc == p (and
+    # images i % nproc == p in the corpus pass); each row of the score
+    # table is computed by exactly ONE process and the tables are
+    # sum-combined over DCN (process_allgather) before averaging — the
+    # values, their order, and therefore the final means are bit-equal to
+    # the single-process run (pinned by tests/test_multihost.py).  Word
+    # formatting and the caption dicts stay on every process: they are
+    # cheap and the primary needs the full dicts for the pickles.
+    nproc, proc_id = jax.process_count(), jax.process_index()
 
     if sub_batch_size == -1:
         sub_batch_size = len(data_loader)
@@ -255,6 +302,53 @@ def test_model(
     # loop's prefetch pattern (data/device_prefetch.py).
     from show_tell_tpu.data.device_prefetch import device_prefetch
 
+    def consume(idx, img_paths, captions, loss, ids):
+        """Host-side scoring of one decoded batch (blocks on the device
+        results).  Runs one batch BEHIND the dispatch loop so the chip
+        decodes batch i+1 while the host scores batch i — the scoring is
+        pure Python (n-gram counting, CIDEr tf-idf) and is the eval
+        bottleneck on a real TPU host, so the decode rides under it for
+        free.  Accumulation order and every printed line are identical
+        to the unpipelined loop (reference utils.py:168-224)."""
+        test_loss.append(float(loss))
+
+        predicted_words = create_caption_word_format(np.asarray(ids), vocab, False)
+        target_words = create_caption_word_format(np.asarray(captions), vocab, True)
+
+        for imgs, tgt, pdt in zip(img_paths, target_words, predicted_words):
+            if imgs in target_caption_full:
+                target_caption_full[imgs].extend(tgt)
+                candidate_caption_full[imgs].append(pdt)
+            else:
+                target_caption_full[imgs] = list(tgt)
+                candidate_caption_full[imgs] = [pdt]
+
+        if idx % nproc == proc_id:  # nproc == 1: every batch
+            eval_scores = evaluate(target_words, predicted_words)
+            scored_rows[idx] = [eval_scores[k] for k in SCORE_KEYS]
+            for k, v in zip(SCORE_KEYS, scored_rows[idx]):
+                accum[k].append(v)
+
+        # Single-process: running means over every batch so far, exactly
+        # the reference print; multi-host: over this process' shard.
+        if (idx + 1) % 100 == 0:
+            _m = lambda k: float(np.mean(accum[k])) if accum[k] else 0.0
+            print(
+                "Step %d - %0.4f test loss, %0.2f time, %.3f BLEU1, %.3f BLEU2, %.3f BLEU3, %.3f BLEU4, %.3f CIDEr, %.3f ROUGE_L."
+                % (
+                    idx + 1,
+                    float(loss),
+                    time.time() - start_time,
+                    _m("Bleu_1") * 100.0,
+                    _m("Bleu_2") * 100.0,
+                    _m("Bleu_3") * 100.0,
+                    _m("Bleu_4") * 100.0,
+                    _m("CIDEr") * 100.0,
+                    _m("ROUGE_L") * 100.0,
+                )
+            )
+
+    pending = None  # one in-flight batch: (idx, img_paths, captions, loss, ids)
     for idx, (img_paths, images, captions, lengths) in enumerate(
         device_prefetch(data_loader, mesh=mesh, replicated_indices=(2, 3))
     ):
@@ -267,42 +361,25 @@ def test_model(
         if use_faithful:
             # loss_only step returned the encoder feats in the ids slot
             # (same flip draw as the loss; one ResNet forward per batch).
+            # The beam decode itself runs on the HOST step by step, so
+            # there is no device work to pipeline — consume in place.
             full = merge_params(train_state.trainable, train_state.frozen)
             ids = faithful_beam_decode(full["decoder"], cfg.decoder_config(), ids, beam_size)[None, :]
-        test_loss.append(float(loss))
+            consume(idx, img_paths, captions, loss, ids)
+            continue
+        if pending is not None:
+            consume(*pending)
+        pending = (idx, img_paths, captions, loss, ids)
+    if pending is not None:
+        consume(*pending)
 
-        predicted_words = create_caption_word_format(np.asarray(ids), vocab, False)
-        target_words = create_caption_word_format(np.asarray(captions), vocab, True)
-
-        eval_scores = evaluate(target_words, predicted_words)
-        for imgs, tgt, pdt in zip(img_paths, target_words, predicted_words):
-            if imgs in target_caption_full:
-                target_caption_full[imgs].extend(tgt)
-                candidate_caption_full[imgs].append(pdt)
-            else:
-                target_caption_full[imgs] = list(tgt)
-                candidate_caption_full[imgs] = [pdt]
-
-        for k in accum:
-            accum[k].append(eval_scores[k])
-
-        if (idx + 1) % 100 == 0:
-            print(
-                "Step %d - %0.4f test loss, %0.2f time, %.3f BLEU1, %.3f BLEU2, %.3f BLEU3, %.3f BLEU4, %.3f CIDEr, %.3f ROUGE_L."
-                % (
-                    idx + 1,
-                    float(loss),
-                    time.time() - start_time,
-                    np.mean(accum["Bleu_1"]) * 100.0,
-                    np.mean(accum["Bleu_2"]) * 100.0,
-                    np.mean(accum["Bleu_3"]) * 100.0,
-                    np.mean(accum["Bleu_4"]) * 100.0,
-                    np.mean(accum["CIDEr"]) * 100.0,
-                    np.mean(accum["ROUGE_L"]) * 100.0,
-                )
-            )
-
-    final = {k: float(np.mean(v)) for k, v in accum.items()}
+    # Reassemble the full per-batch score table (multi-host: each row was
+    # computed by exactly one process) and average it in batch order.
+    table = np.zeros((len(test_loss), len(SCORE_KEYS)), np.float64)
+    for i, row in scored_rows.items():
+        table[i] = row
+    table = _combine_score_table(table)
+    final = {k: float(np.mean(table[:, j])) for j, k in enumerate(SCORE_KEYS)}
     final["test_loss"] = float(np.mean(test_loss))
     print(
         "%0.4f test loss, %0.2f time, %.3f BLEU1, %.3f BLEU2, %.3f BLEU3, %.3f BLEU4, %.3f CIDEr, %.3f ROUGE_L."
@@ -336,8 +413,15 @@ def test_model(
 
     sf = SmoothingFunction()
     weights = [(1.0, 0, 0, 0), (0.5, 0.5, 0, 0), (0.34, 0.33, 0.33, 0), (0.25, 0.25, 0.25, 0.25)]
-    corpus_scores = [[] for _ in range(4)]
-    for img_nm in target_caption_full:
+    # Dict insertion order is identical on every process (same loader
+    # stream, same batches), so image i % nproc == proc_id shards the
+    # corpus pass deterministically; the per-image score rows sum-combine
+    # the same way as the per-batch table above.
+    img_names = list(target_caption_full)
+    corpus_rows = np.zeros((len(img_names), 4), np.float64)
+    for i, img_nm in enumerate(img_names):
+        if i % nproc != proc_id:
+            continue
         sums = [0.0] * 4
         cands = candidate_caption_full[img_nm]
         for cand in cands:
@@ -346,9 +430,10 @@ def test_model(
                     [target_caption_full[img_nm]], [cand], weights=weights[w], smoothing_function=sf.method4
                 )
         for w in range(4):
-            corpus_scores[w].append(sums[w] / len(cands))
+            corpus_rows[i, w] = sums[w] / len(cands)
+    corpus_rows = _combine_score_table(corpus_rows)
     for w in range(4):
-        final["Final_Bleu_%d" % (w + 1)] = float(np.mean(corpus_scores[w])) if corpus_scores[w] else 0.0
+        final["Final_Bleu_%d" % (w + 1)] = float(np.mean(corpus_rows[:, w])) if len(img_names) else 0.0
     print(
         "%0.4f test loss, %0.2f time, %.3f Final BLEU1, %.3f Final BLEU2, %.3f Final BLEU3, %.3f Final BLEU4"
         % (

@@ -174,14 +174,36 @@ def main():
     # the metric pickles (SURVEY.md §5 / VERDICT r3 ask 5).  out_dir is
     # shared across processes (argv) — like a real shared filesystem.
     eval_out = sys.argv[3] if len(sys.argv) > 3 else None
-    scores = run_sharded_eval(eval_out) if eval_out else None
+    # Count the expensive per-batch evaluate() calls: the host-side
+    # scoring is SHARDED by batch across processes (tester.py), so each
+    # process must score only ~1/nproc of the batches — while the final
+    # score dict still matches the single-process run bit-for-bit.
+    n_scored = 0
+    if eval_out:
+        from show_tell_tpu.evaluation import tester as _tester
+
+        _real_evaluate = _tester.evaluate
+
+        def _counting_evaluate(*a, **kw):
+            nonlocal_count[0] += 1
+            return _real_evaluate(*a, **kw)
+
+        nonlocal_count = [0]
+        _tester.evaluate = _counting_evaluate
+        try:
+            scores = run_sharded_eval(eval_out)
+        finally:
+            _tester.evaluate = _real_evaluate
+        n_scored = nonlocal_count[0]
+    else:
+        scores = None
 
     print(
         "RESULT " + json.dumps(
             {"pid": pid, "primary": is_primary(), "losses": losses,
              "checksum": checksum, "losses_local": losses_local,
              "preempt_agreed_one": agreed_one, "preempt_agreed_none": agreed_none,
-             "eval_scores": scores}
+             "eval_scores": scores, "eval_batches_scored": n_scored}
         ),
         flush=True,
     )

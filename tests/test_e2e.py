@@ -342,6 +342,13 @@ def test_multihost_worker_joins_test_phase_without_writing_pickles(trained, monk
             os.remove(p)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     monkeypatch.setattr(multihost, "is_primary", lambda: False)
+    # The scoring shard's allgather needs a REAL 2-process runtime (that
+    # equality run lives in test_multihost.py); under this single-process
+    # simulation the combine seam is an identity — the peer's rows stay
+    # zero, which only this test's finiteness assertion sees.
+    from show_tell_tpu.evaluation import tester
+
+    monkeypatch.setattr(tester, "_combine_score_table", lambda t: t)
     res = run(
         "gru",
         _argv(

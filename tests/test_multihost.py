@@ -141,6 +141,14 @@ def _assert_multihost_results(tmp_path, results, eval_dir, ref_losses, ref_check
     # into the shared out dir (worker writes would race/tear them)
     for f in ("Target_Words_Dict.pickle", "Candidate_Words_Dict.pickle"):
         assert os.path.isfile(os.path.join(eval_dir, f)), f
+    # the HOST-SIDE scoring is sharded by batch: the 3 eval batches are
+    # scored exactly once across processes, round-robin (idx % nproc), so
+    # no process scores more than ceil(3/nproc) — the scalable half of
+    # multi-host eval (decode dp-shards on device, scoring shards on hosts)
+    nproc = len(pids)
+    scored = [results[pid]["eval_batches_scored"] for pid in pids]
+    assert sum(scored) == 3, scored
+    assert max(scored) == -(-3 // nproc), scored
 
 
 def test_two_process_dp8_matches_single_process(tmp_path):
