@@ -662,6 +662,8 @@ def bench_eval(batch: int = 256, n_images: int = 2048):
     # bench's stdout stays one JSON line.
     import contextlib
 
+    from show_tell_tpu.evaluation import tester
+
     dog = _device_watchdog()
     with contextlib.redirect_stdout(sys.stderr):
         test_model(ts, cfg, loader, vocab, params)  # compile pass
@@ -669,6 +671,15 @@ def bench_eval(batch: int = 256, n_images: int = 2048):
         t0 = time.perf_counter()
         scores = test_model(ts, cfg, loader, vocab, params)
         dt = time.perf_counter() - t0
+        # A/B the software pipelining: same flow with each batch scored
+        # before the next decode dispatch (the reference's serial order).
+        tester.PIPELINE_SCORING = False
+        try:
+            t0 = time.perf_counter()
+            test_model(ts, cfg, loader, vocab, params)
+            dt_serial = time.perf_counter() - t0
+        finally:
+            tester.PIPELINE_SCORING = True
     loader.close()
     shutil.rmtree(root)
 
@@ -682,6 +693,8 @@ def bench_eval(batch: int = 256, n_images: int = 2048):
                 "vs_baseline": round(cps / 1250.0, 3),
                 "n_images": n_images,
                 "test_loss_finite": bool(np.isfinite(scores["test_loss"])),
+                "serial_captions_per_sec": round(n_images / dt_serial, 2),
+                "pipeline_speedup": round(dt_serial / dt, 3),
             }
         )
     )

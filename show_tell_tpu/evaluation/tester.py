@@ -41,6 +41,12 @@ from show_tell_tpu.models.encoder import encoder_forward
 from show_tell_tpu.ops import vocab_projection_is_sharded
 
 
+# When False, each batch is scored before the next decode is dispatched
+# (the reference's fully serial order).  Output-identical either way —
+# exists so `bench.py --eval` can A/B the overlap on real hardware.
+PIPELINE_SCORING = True
+
+
 def _combine_score_table(table: np.ndarray) -> np.ndarray:
     """Sum-combine a per-row score table across processes.  Each row is
     computed by exactly ONE process (round-robin shard) and left zero on
@@ -370,6 +376,9 @@ def test_model(
         if pending is not None:
             consume(*pending)
         pending = (idx, img_paths, captions, loss, ids)
+        if not PIPELINE_SCORING:  # bench A/B: score in place (reference order)
+            consume(*pending)
+            pending = None
     if pending is not None:
         consume(*pending)
 

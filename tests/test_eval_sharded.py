@@ -127,6 +127,21 @@ def test_eval_beam_dp8_bit_equal(tmp_path):
             assert dp8[k] == ref[k], (k, dp8[k], ref[k])
 
 
+def test_eval_serial_scoring_identical(tmp_path):
+    """PIPELINE_SCORING=False (bench A/B: each batch scored before the
+    next decode dispatch, the reference's serial order) returns the exact
+    score dict of the pipelined loop."""
+    from show_tell_tpu.evaluation import tester
+
+    ref = _run_eval(tmp_path, "gru", dp=1)
+    tester.PIPELINE_SCORING = False
+    try:
+        serial = _run_eval(tmp_path, "gru", dp=1, seed_model=0)
+    finally:
+        tester.PIPELINE_SCORING = True
+    assert serial == ref
+
+
 def test_eval_mesh_rejects_impossible_request(tmp_path):
     """An explicit --dp/--mp that cannot form a mesh must raise, not fall
     back to one device silently."""
