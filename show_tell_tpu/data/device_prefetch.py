@@ -49,6 +49,7 @@ def device_prefetch(
         )
     sharding = batch_sharding(mesh) if mesh is not None else None
     dp = mesh.shape["dp"] if mesh is not None else 1
+    nproc = jax.process_count()
 
     def put(batch):
         out = list(batch)
@@ -64,15 +65,20 @@ def device_prefetch(
                     )
                 out[i] = put_sharded(out[i], replicated(mesh))
                 continue
-            if out[i].shape[0] % dp:
+            # Divisibility is over GLOBAL rows: a local-rows element holds
+            # only this process's 1/nproc slice of the batch, but the dp
+            # axis it shards over spans every process's devices.
+            rows = out[i].shape[0] * (nproc if i in local_indices else 1)
+            if rows % dp:
                 if i in local_indices:
                     # Partial local rows cannot be assembled replicated
                     # (each process holds different data); the process-
                     # sharded loader enforces drop_last so this is a
                     # caller bug, not a tail batch.
                     raise ValueError(
-                        "batch element %d has %d rows, not divisible over dp=%d, "
-                        "and holds local rows only" % (i, out[i].shape[0], dp)
+                        "batch element %d has %d local rows (%d global), not "
+                        "divisible over dp=%d, and holds local rows only"
+                        % (i, out[i].shape[0], rows, dp)
                     )
                 sh = replicated(mesh)
             out[i] = put_sharded(out[i], sh, local_rows=i in local_indices)

@@ -253,6 +253,17 @@ def beam_search_decode(
             fused_ok = not vocab_projection_is_sharded(params["linear"])
         else:
             fused_ok = not vocab_sharded
+        # Shape + VMEM envelope, shared with the greedy fused dispatch
+        # (ops.fused_pooled_step_fits): E > H can't ride the stacked
+        # weight stream; f32 parity shapes exceed the gate budget on a
+        # real TPU.  Either way the XLA path is the correct fallback.
+        from show_tell_tpu.ops import fused_pooled_step_fits
+
+        if not fused_pooled_step_fits(
+            cfg.cell_type, cfg.hidden_dim, params["embedding"].shape[1],
+            params["embedding"].dtype, interpret=jax.default_backend() != "tpu",
+        ):
+            fused_ok = False
         if not fused_ok:
             fused_step = False  # GSPMD keeps the vocab-axis collectives (XLA path)
 
@@ -351,8 +362,6 @@ def attn_beam_search_decode(
     step = stack_step(cfg.cell_type)
     feats_pm = jnp.swapaxes(cnn_feature, 1, 2)  # [B, P, C]
     att1 = _linear(params["attn"]["encoder_att"], feats_pm)  # hoisted, constant over steps
-    feats_tiled = jnp.repeat(feats_pm, K, axis=0)  # [B*K, P, C]
-    att1_tiled = jnp.repeat(att1, K, axis=0)
 
     auto = use_pallas is None
     if auto:
@@ -375,17 +384,6 @@ def attn_beam_search_decode(
 
     def project(top):
         return _linear(params["linear"], top)
-
-    # Sparse projection follows its own measured policy under auto
-    # (each kernel is flipped on its own A/B numbers); an explicit
-    # use_pallas=1/0 forces all kernels together.
-    if auto:
-        from show_tell_tpu.ops import pallas_beam_default
-
-        use_sparse = pallas_beam_default()
-    else:
-        use_sparse = use_pallas
-    sparse_proj = _sparse_projection(params, K, vocab_sharded) if use_sparse else None
 
     def trunk(w_emb, feats, a1, state):
         context = context_fn(feats, a1, _last_h(state, cfg.cell_type))
@@ -411,16 +409,15 @@ def attn_beam_search_decode(
             fused_ok = not vocab_projection_is_sharded(params["linear"])
         else:
             fused_ok = not vocab_sharded
-        # VMEM envelope (same estimate as the greedy dispatch): f32
-        # parity shapes keep the composite path.
-        import numpy as _np
+        # Shape + VMEM envelope, shared with the greedy dispatch
+        # (ops.fused_attn_step_fits): f32 parity shapes and H > 2E
+        # configs keep the composite path.
+        from show_tell_tpu.ops import fused_attn_step_fits
 
-        n_gates = 4 if cfg.cell_type == "lstm" else 3
-        H = cfg.hidden_dim
-        gates_bytes = (2 * 2 * H + 2 * cfg.embed_dim) * n_gates * H * _np.dtype(
-            params["embedding"].dtype
-        ).itemsize
-        if not fused_ok or gates_bytes > 14 * 1024 * 1024:
+        if not fused_ok or not fused_attn_step_fits(
+            cfg.cell_type, cfg.hidden_dim, cfg.embed_dim, params["embedding"].dtype,
+            interpret=jax.default_backend() != "tpu",
+        ):
             fused_step = False
     if fused_step:
         from show_tell_tpu.ops.fused_attn_pallas import (
@@ -449,6 +446,22 @@ def attn_beam_search_decode(
             logp0, state1, step_fn, tile, gather, K, T, end_token, pad_token,
             sparse=False, early_exit=early_exit,
         )
+
+    # Composite path only below: the K-tiled per-hypothesis inputs
+    # ([B*K, P, C] feats — ~150MB at serving shapes — and att1) and the
+    # sparse projection are built only when a step_fn will consume them.
+    feats_tiled = jnp.repeat(feats_pm, K, axis=0)  # [B*K, P, C]
+    att1_tiled = jnp.repeat(att1, K, axis=0)
+    # Sparse projection follows its own measured policy under auto
+    # (each kernel is flipped on its own A/B numbers); an explicit
+    # use_pallas=1/0 forces all kernels together.
+    if auto:
+        from show_tell_tpu.ops import pallas_beam_default
+
+        use_sparse = pallas_beam_default()
+    else:
+        use_sparse = use_pallas
+    sparse_proj = _sparse_projection(params, K, vocab_sharded) if use_sparse else None
 
     if sparse_proj is not None:
 

@@ -272,6 +272,19 @@ def test_model(
             "eval mesh dp=%d x mp=%d cannot form: %d devices visible and the "
             "eval batch size %s must divide dp" % (n_dev, mp, len(jax.devices()), eval_batch)
         )
+    elif len(jax.devices()) > 1:
+        # Default dp=0 with a batch size the device count does not divide:
+        # legal, but the whole eval runs on ONE chip — say so instead of
+        # silently idling the other devices (the north-star workload).
+        import sys as _sys
+
+        print(
+            "Eval batch size %s does not divide the %d visible devices; "
+            "running single-device (pass --batch_size a multiple of the "
+            "device count, or --dp, to shard the eval)."
+            % (eval_batch, len(jax.devices())),
+            file=_sys.stderr,
+        )
 
     eval_augment = bool(params.get("eval_augment", 1))
     eval_dtype = jnp.bfloat16 if params.get("compute_dtype") == "bfloat16" else jnp.float32

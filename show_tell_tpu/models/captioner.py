@@ -210,16 +210,17 @@ def captioner_greedy_decode(
 
                 vs = vocab_projection_is_sharded(params["decoder"]["linear"])
             dtype = params["decoder"]["embedding"].dtype
-            n_gates = 4 if cfg.decoder_config().cell_type == "lstm" else 3
-            # VMEM guard, like greedy_decode_pallas: the fused attention
-            # step streams double-buffered [H, gates*H] blocks plus the
-            # resident [2E, gates*H] layer-0 weights; bf16 serving shapes
-            # fit, f32 parity shapes don't and keep the composite (whose
-            # projection kernel has its own envelope).
-            gates_bytes = (2 * 2 * cfg.hidden_dim + 2 * cfg.embed_dim) * n_gates * cfg.hidden_dim * jnp.dtype(dtype).itemsize
-            # 14MB: bf16 flagship LSTM (12.6MB estimate) compiled and won
-            # 1.34x on-chip; f32 shapes (18.9MB GRU / 25MB LSTM) don't fit.
-            if not vs and gates_bytes <= 14 * 1024 * 1024:
+            # Shape + VMEM envelope (the shared seam next to the policy
+            # flags): bf16 serving shapes fit, f32 parity shapes keep
+            # the composite path (whose projection kernel has its own
+            # envelope), H > 2E configs can't use the kernel's scratch.
+            from show_tell_tpu.ops import fused_attn_step_fits
+
+            fits = fused_attn_step_fits(
+                cfg.decoder_config().cell_type, cfg.hidden_dim, cfg.embed_dim, dtype,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if not vs and fits:
                 # FULLY fused decode step: attention + embed-space context
                 # + recurrence + projection + argmax in ONE invocation
                 # (ops/fused_attn_pallas.py — measured 1.38x over the

@@ -61,6 +61,66 @@ def pallas_beam_fused_default():
     return "dense" if jax.default_backend() == "tpu" else None
 
 
+def fused_pooled_step_fits(
+    cell_type: str, hidden_dim: int, embed_dim: int, dtype, interpret: bool = False
+) -> bool:
+    """Shape + VMEM envelope shared by every dispatch into the pooled
+    fused decode-step kernels (greedy ops/fused_step_pallas.py, beam
+    ops/fused_beam_pallas.py) — the ONE place the envelope lives, so a
+    new call site cannot forget half of it:
+
+      * ``embed_dim <= hidden_dim``: the kernels pad the layer-0 input
+        up to H (rnn_pallas.prepare_rnn_weights / _pad_input) — wider
+        inputs cannot ride the [L, H, GH] stacked-weight stream;
+      * double-buffered gate-weight blocks (w_ih + w_hh, 2 x 2 x H x
+        GH) within a 12MB budget next to the vocab stream: bf16 serving
+        shapes (H=512 GRU 6.3MB / LSTM 8.4MB) fit, f32 parity shapes
+        (12.6 / 16.8MB) keep the XLA path — which is also the
+        measured-parity dtype.
+
+    interpret=True (CPU interpreter, tests): only the shape constraint
+    applies — there is no VMEM to budget, and the interpreter is how the
+    oversized-f32 kernel math itself gets tested."""
+    import numpy as np
+
+    if embed_dim > hidden_dim:
+        return False
+    if interpret:
+        return True
+    n_gates = 4 if cell_type == "lstm" else 3
+    gates_bytes = 2 * 2 * hidden_dim * n_gates * hidden_dim * np.dtype(dtype).itemsize
+    return gates_bytes <= 12 * 1024 * 1024
+
+
+def fused_attn_step_fits(
+    cell_type: str, hidden_dim: int, embed_dim: int, dtype, interpret: bool = False
+) -> bool:
+    """Shape + VMEM envelope shared by every dispatch into the fused
+    attention decode-step kernel (ops/fused_attn_pallas.py; greedy and
+    beam forms):
+
+      * ``hidden_dim <= 2 * embed_dim``: the kernel's x_buf scratch is
+        [block_b, 2E] (the cat(w_emb, ctx_e) input) and the recurrence
+        stages write/read H of its columns;
+      * streamed [H, GH] upper-layer blocks (double-buffered) plus the
+        resident [2E, GH] layer-0 weights within 14MB: the bf16 flagship
+        LSTM (12.6MB estimate) compiled and won 1.34x on-chip; f32
+        shapes (18.9MB GRU / 25MB LSTM) keep the composite path.
+
+    interpret=True: shape constraint only (see fused_pooled_step_fits)."""
+    import numpy as np
+
+    if hidden_dim > 2 * embed_dim:
+        return False
+    if interpret:
+        return True
+    n_gates = 4 if cell_type == "lstm" else 3
+    gates_bytes = (
+        (2 * 2 * hidden_dim + 2 * embed_dim) * n_gates * hidden_dim * np.dtype(dtype).itemsize
+    )
+    return gates_bytes <= 14 * 1024 * 1024
+
+
 def vocab_projection_is_sharded(linear) -> bool:
     """True when the output projection is tensor-sharded (mp > 1 in
     parallel/mesh.py's vocab-axis rule).  The fused projection+argmax

@@ -287,24 +287,27 @@ def greedy_decode_pallas(
         interpret = jax.default_backend() != "tpu"
     B = cnn_feature.shape[0]
     dtype = params["embedding"].dtype
-    if not interpret:
-        # VMEM guard: the double-buffered gate weight blocks must fit
-        # alongside the vocab stream and activations.  bf16 serving
-        # shapes (H=512: GRU 6.3MB, LSTM 8.4MB) pass; f32 parity shapes
-        # (GRU 12.6MB, LSTM 16.8MB) exceed the budget and keep the XLA
-        # scan — which is also the measured-parity dtype path.
-        # (No batch-size gate here: under a dp mesh this function traces
-        # with the GLOBAL batch while the kernel's partition rule runs
-        # per-shard on the local batch — a global-B gate would disable
-        # the kernel exactly in the dp=8 serving configuration.  Batch
-        # blocking and VMEM safety for oversized local batches live in
-        # fused_step_pallas._pick_block_b + its row padding.)
-        n_gates = 4 if cfg.cell_type == "lstm" else 3
-        gates_bytes = 2 * 2 * cfg.hidden_dim * n_gates * cfg.hidden_dim * jnp.dtype(dtype).itemsize
-        if gates_bytes > 12 * 1024 * 1024:
-            from show_tell_tpu.models.decoder import greedy_decode
+    # Shape + VMEM envelope — ops.fused_pooled_step_fits, the shared seam
+    # for every fused-pooled-step dispatch (beam uses the same one): E > H
+    # can't ride the stacked weight stream; on a real TPU the double-
+    # buffered gate weight blocks must also fit alongside the vocab
+    # stream (bf16 serving shapes pass; f32 parity shapes keep the XLA
+    # scan — also the measured-parity dtype path).
+    # (No batch-size gate here: under a dp mesh this function traces
+    # with the GLOBAL batch while the kernel's partition rule runs
+    # per-shard on the local batch — a global-B gate would disable
+    # the kernel exactly in the dp=8 serving configuration.  Batch
+    # blocking and VMEM safety for oversized local batches live in
+    # fused_step_pallas._pick_block_b + its row padding.)
+    from show_tell_tpu.ops import fused_pooled_step_fits
 
-            return greedy_decode(params, cfg, cnn_feature, end_token=end_token)
+    if not fused_pooled_step_fits(
+        cfg.cell_type, cfg.hidden_dim, params["embedding"].shape[1], dtype,
+        interpret=interpret,
+    ):
+        from show_tell_tpu.models.decoder import greedy_decode
+
+        return greedy_decode(params, cfg, cnn_feature, end_token=end_token)
     stacked = prepare_rnn_weights(params["rnn"])
     stacked = jax.tree.map(lambda w: w.astype(dtype), stacked)
     # mp-sharded vocab projection keeps the XLA path (GSPMD's native

@@ -421,6 +421,50 @@ def test_attn_beam_fused_step_matches_xla():
         np.testing.assert_array_equal(ee, ref, err_msg=cell + " early_exit")
 
 
+def test_fused_step_shape_envelope_falls_back():
+    """Configs the fused kernels cannot express — E > H (pooled: the
+    layer-0 input cannot pad up to H) and H > 2E (attention: the x_buf
+    scratch is 2E wide, the recurrence writes H of its columns) — must
+    transparently keep the XLA path with identical ids even when
+    fused_step is forced, instead of crashing inside weight stacking /
+    scratch writes.  The envelope is the shared seam
+    ops.fused_pooled_step_fits / fused_attn_step_fits (one place, every
+    dispatch: greedy + beam)."""
+    from show_tell_tpu.decode.beam import attn_beam_search_decode
+    from show_tell_tpu.models.attention import AttnDecoderConfig, init_attn_decoder_params
+    from show_tell_tpu.ops import fused_attn_step_fits, fused_pooled_step_fits
+    from show_tell_tpu.ops.rnn_pallas import greedy_decode_pallas
+
+    # The envelope itself: shape constraints bind everywhere, the VMEM
+    # budget only off-interpret (CPU tests still exercise f32 kernels).
+    assert not fused_pooled_step_fits("gru", 8, 12, np.float32, interpret=True)  # E > H
+    assert fused_pooled_step_fits("lstm", 512, 256, np.float32, interpret=True)
+    assert not fused_pooled_step_fits("lstm", 512, 256, np.float32)  # f32 gate budget
+    assert fused_pooled_step_fits("lstm", 512, 256, jnp.bfloat16)  # bf16 serving shapes
+    assert not fused_attn_step_fits("gru", 12, 4, np.float32, interpret=True)  # H > 2E
+    assert not fused_attn_step_fits("lstm", 512, 512, np.float32)  # f32 gate budget
+    assert fused_attn_step_fits("lstm", 512, 512, jnp.bfloat16)
+
+    # Pooled, E > H: beam (forced fused) and greedy (kernel dispatch).
+    cfg = DecoderConfig("gru", 12, 8, V, L, max_caption_length=7)
+    params = init_decoder_params(jax.random.PRNGKey(3), cfg)
+    feat = jnp.asarray(np.random.RandomState(4).randn(3, 12).astype(np.float32))
+    ref = np.asarray(beam_search_decode(params, cfg, feat, 3, use_pallas=False, fused_step=False))
+    got = np.asarray(beam_search_decode(params, cfg, feat, 3, fused_step="dense"))
+    np.testing.assert_array_equal(got, ref)
+    g_ref = np.asarray(greedy_decode(params, cfg, feat))
+    g_got = np.asarray(greedy_decode_pallas(params, cfg, feat, interpret=True))
+    np.testing.assert_array_equal(g_got, g_ref)
+
+    # Attention, H > 2E: beam with the fused step forced.
+    acfg = AttnDecoderConfig("gru", 4, 10, 12, 12, V, L, max_caption_length=7)
+    aparams = init_attn_decoder_params(jax.random.PRNGKey(5), acfg)
+    feats = jnp.asarray(np.random.RandomState(6).randn(2, 10, 6).astype(np.float32))
+    a_ref = np.asarray(attn_beam_search_decode(aparams, acfg, feats, 3, use_pallas=False, fused_step=False))
+    a_got = np.asarray(attn_beam_search_decode(aparams, acfg, feats, 3, fused_step="dense"))
+    np.testing.assert_array_equal(a_got, a_ref)
+
+
 def test_beam_early_exit_identical_ids():
     """early_exit beam (while_loop, stops when every beam retired) must
     return bit-identical ids to the full T-step scan — including models

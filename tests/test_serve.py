@@ -115,6 +115,39 @@ def test_device_prefetch():
     assert list(device_prefetch([])) == []
 
 
+def test_device_prefetch_local_rows_divide_globally(monkeypatch):
+    """Multi-host: a local-rows element holds batch/nproc rows but shards
+    over the GLOBAL dp axis, so divisibility must be checked on GLOBAL
+    rows — local 4 x nproc 2 over dp=8 is a valid train batch (1 row per
+    device), while a genuinely indivisible global count still raises."""
+    import pytest as _pytest
+
+    import show_tell_tpu.data.device_prefetch as dpf
+    from show_tell_tpu.parallel import mesh as mesh_mod
+    from show_tell_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8)
+    calls = []
+    monkeypatch.setattr(
+        mesh_mod, "put_sharded",
+        lambda x, sh, local_rows=False: calls.append((x.shape, local_rows)) or x,
+    )
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    batch = (("p",), np.zeros((4, 4, 4, 3), np.uint8),
+             np.zeros((8, 5), np.int32), np.full((8,), 5, np.int32))
+    out = list(dpf.device_prefetch([batch], mesh=mesh, local_indices=(1,),
+                                   replicated_indices=(2, 3)))
+    assert len(out) == 1
+    assert calls[0] == ((4, 4, 4, 3), True)  # sharded, not rejected
+
+    bad = (("p",), np.zeros((3, 4, 4, 3), np.uint8),
+           np.zeros((8, 5), np.int32), np.full((8,), 5, np.int32))
+    with _pytest.raises(ValueError, match="local rows"):
+        list(dpf.device_prefetch([bad], mesh=mesh, local_indices=(1,),
+                                 replicated_indices=(2, 3)))
+
+
 def test_captioner_dp_serving_matches_single_device(trained):
     """dp=8 sharded serving must produce the same captions."""
     data_root, out_dir = trained
