@@ -51,6 +51,69 @@ def _closest_reflen(reflens: List[int], testlen: int) -> int:
     return min((abs(l - testlen), l) for l in reflens)[1]
 
 
+def nltk_bleu4_method4(
+    references: List[List[str]], hypothesis: List[str], weights_list: List[Tuple], k: int = 5
+) -> List[float]:
+    """``nltk.corpus_bleu([references], [hypothesis], w, smoothing_function=
+    SmoothingFunction().method4)`` for every weight tuple ``w`` in ONE
+    pass — BIT-EQUAL to calling nltk per tuple (fuzz-pinned against the
+    installed nltk in tests/test_metrics.py), ~10x faster: the n-gram
+    clipping runs once instead of per weight tuple, and the integer
+    numerators/denominators skip nltk's Fraction construction entirely.
+    Every float operation (int true-division, method4's smoothing
+    formula, fsum over the weighted logs, exp, brevity penalty) mirrors
+    nltk's bleu_score.py op-for-op in the same order, so the roundings
+    are identical.  This is the hot call of the reference's final
+    per-image eval pass (reference utils.py:232-246: 4 weight tuples x
+    ~5 candidates x every val image — ~810k nltk calls for COCO val2014)."""
+    hyp_len = len(hypothesis)
+    nums, dens = [0] * 4, [0] * 4
+    for n in range(1, 5):
+        if hyp_len >= n:
+            counts = Counter(zip(*(hypothesis[i:] for i in range(n))))
+        else:
+            counts = Counter()
+        max_counts: Dict = {}
+        for ref in references:
+            if len(ref) >= n:
+                rc = Counter(zip(*(ref[i:] for i in range(n))))
+                for ng in counts:
+                    c = rc[ng]
+                    if c > max_counts.get(ng, 0):
+                        max_counts[ng] = c
+        nums[n - 1] = sum(min(c, max_counts.get(ng, 0)) for ng, c in counts.items())
+        dens[n - 1] = max(1, sum(counts.values()))
+    if nums[0] == 0:  # no unigram match -> no higher order either
+        return [0.0] * len(weights_list)
+    closest = min((len(r) for r in references), key=lambda rl: (abs(rl - hyp_len), rl))
+    if hyp_len > closest:
+        bp = 1.0
+    elif hyp_len == 0:
+        bp = 0.0
+    else:
+        bp = math.exp(1 - closest / hyp_len)
+    # method4 smoothing: zero-match orders get 1/(2^incvnt * k / ln(len))
+    # over the same denominator; hyp_len <= 1 leaves them at true zero
+    # (excluded from the geometric mean, like nltk's `if p_i > 0`).
+    logs = [0.0] * 4
+    positive = [False] * 4
+    incvnt = 1
+    for i in range(4):
+        if nums[i] == 0:
+            if hyp_len > 1:
+                numerator = 1 / (2**incvnt * k / math.log(hyp_len))
+                logs[i] = math.log(numerator / dens[i])
+                positive[i] = True
+                incvnt += 1
+        else:
+            logs[i] = math.log(nums[i] / dens[i])
+            positive[i] = True
+    return [
+        bp * math.exp(math.fsum(w_i * l for w_i, l, p in zip(w, logs, positive) if p))
+        for w in weights_list
+    ]
+
+
 def bleu_corpus(
     gts: Dict, res: Dict, n: int = 4, option: str = "closest", pre=None
 ) -> Tuple[List[float], List[List[float]]]:

@@ -30,6 +30,7 @@ import numpy as np
 from show_tell_tpu.data.transforms import preprocess_images
 from show_tell_tpu.decode.beam import attn_beam_search_decode, beam_search_decode
 from show_tell_tpu.decode.faithful_beam import faithful_beam_decode
+from show_tell_tpu.evaluation import metrics
 from show_tell_tpu.evaluation.metrics import evaluate
 from show_tell_tpu.models.captioner import (
     CaptionerConfig,
@@ -431,9 +432,9 @@ def test_model(
             pickle.dump(candidate_caption_full, f)
 
     # ------ per-image nltk corpus BLEU pass (utils.py:232-246) -------- #
-    from nltk.translate.bleu_score import SmoothingFunction, corpus_bleu
-
-    sf = SmoothingFunction()
+    # nltk_bleu4_method4 is a one-pass, bit-equal replacement for the
+    # reference's 4 corpus_bleu(method4) calls per candidate (~7x faster;
+    # fuzz-pinned against the installed nltk in tests/test_metrics.py).
     weights = [(1.0, 0, 0, 0), (0.5, 0.5, 0, 0), (0.34, 0.33, 0.33, 0), (0.25, 0.25, 0.25, 0.25)]
     # Dict insertion order is identical on every process (same loader
     # stream, same batches), so image i % nproc == proc_id shards the
@@ -446,11 +447,11 @@ def test_model(
             continue
         sums = [0.0] * 4
         cands = candidate_caption_full[img_nm]
+        refs = target_caption_full[img_nm]
         for cand in cands:
+            vals = metrics.nltk_bleu4_method4(refs, cand, weights)
             for w in range(4):
-                sums[w] += corpus_bleu(
-                    [target_caption_full[img_nm]], [cand], weights=weights[w], smoothing_function=sf.method4
-                )
+                sums[w] += vals[w]
         for w in range(4):
             corpus_rows[i, w] = sums[w] / len(cands)
     corpus_rows = _combine_score_table(corpus_rows)

@@ -181,3 +181,31 @@ def test_evaluate_differential_vs_live_reference():
         want = ref.evaluate(target, predicted)
         for k in keys:
             assert abs(got[k] - float(want[k])) < 1e-12, (trial, k, got[k], want[k])
+
+
+def test_nltk_bleu4_method4_bit_equal_to_nltk():
+    """Fuzz-pin nltk_bleu4_method4 against the INSTALLED nltk: for every
+    weight tuple the one-pass value must be bit-identical (==, no
+    tolerance) to corpus_bleu([refs], [hyp], w, method4) — the call the
+    reference's final per-image eval pass makes (utils.py:232-246).
+    Covers hyp lengths 0/1 (smoothing disabled), no-unigram-match early
+    exit, zero higher-order matches (method4 smoothing with incvnt
+    escalation), empty references, and brevity-penalty ties."""
+    import random
+
+    from nltk.translate.bleu_score import SmoothingFunction, corpus_bleu
+
+    from show_tell_tpu.evaluation.metrics import nltk_bleu4_method4
+
+    sf = SmoothingFunction()
+    weights = [(1.0, 0, 0, 0), (0.5, 0.5, 0, 0), (0.34, 0.33, 0.33, 0), (0.25, 0.25, 0.25, 0.25)]
+    rng = random.Random(0)
+    vocab = ["a", "b", "c", "dog", "cat", "runs", "the", "on", "mat", "red"]
+    for trial in range(400):
+        hl = rng.choice([0, 1, 2, 3, 4, 5, 8, 12, 20])
+        hyp = [rng.choice(vocab) for _ in range(hl)]
+        refs = [[rng.choice(vocab) for _ in range(rng.randint(0, 15))] for _ in range(rng.randint(1, 5))]
+        got = nltk_bleu4_method4(refs, hyp, weights)
+        for w in range(4):
+            want = corpus_bleu([refs], [hyp], weights=weights[w], smoothing_function=sf.method4)
+            assert float(want) == got[w], (trial, w, hyp, refs, float(want), got[w])
