@@ -26,7 +26,7 @@ from __future__ import annotations
 import math
 import os
 from collections import Counter, defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -210,28 +210,34 @@ def cider_corpus(gts: Dict, res: Dict, n: int = 4, sigma: float = 6.0, pre=None)
             df[ng] += 1.0
     log_num_images = np.log(float(len(img_ids)))
 
-    # Distinct df values are few (<= #images); caching np.log keeps the
-    # results bit-identical to the per-ngram call while removing ~500k
-    # numpy-scalar log dispatches from the hot path.
+    # One idf per REFERENCE n-gram, computed once per call: distinct df
+    # values are few (<= #images), so np.log goes through a value cache,
+    # and to_vec's hot loop then does ONE dict lookup per n-gram instead
+    # of df.get + log-cache.get.  Hyp-only n-grams (df absent) fall back
+    # to the default log_num_images — exactly log_n - log(max(1, 0.0))
+    # = log_n - 0.0, so every value is bit-identical to the per-ngram
+    # computation.
     _log_cache: Dict[float, float] = {}
-    _df_get = df.get  # plain lookup: defaultdict reads would insert keys
+    idf_table: Dict[tuple, float] = {}
+    for ng, dfv in df.items():
+        idf = _log_cache.get(dfv)
+        if idf is None:
+            idf = _log_cache[dfv] = log_num_images - float(np.log(max(1.0, dfv)))
+        idf_table[ng] = idf
+    _idf_get = idf_table.get
 
     def to_vec(cnts: Counter):
         vec = [{} for _ in range(n)]
         norm = [0.0] * n
         length = 0
         for ng, tf in cnts.items():
-            dfv = _df_get(ng, 0.0)
-            idf = _log_cache.get(dfv)
-            if idf is None:
-                idf = _log_cache[dfv] = log_num_images - float(np.log(max(1.0, dfv)))
             k = len(ng) - 1
-            v = float(tf) * idf
+            v = float(tf) * _idf_get(ng, log_num_images)
             vec[k][ng] = v
             norm[k] += v * v
             if k == 1:  # upstream quirk: "length" counts bigrams
                 length += tf
-        return vec, [np.sqrt(x) for x in norm], length
+        return vec, [math.sqrt(x) for x in norm], length
 
     scores = []
     for i in img_ids:
@@ -338,6 +344,45 @@ def meteor_corpus(gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
 # -------------------------------------------------------------- wrapper ----
 
 
+def _evaluate_native(target, predicted, faithful: bool) -> Optional[Dict[str, float]]:
+    """Native scoring path (native/fastmetrics.cpp): bit-identical score
+    dict, ~20x the Python scorers.  None -> caller runs the Python path
+    (library unavailable, METEOR enabled, or inputs outside the
+    join/split round-trip preconditions — see fastmetrics.score_batch)."""
+    if meteor_available():
+        return None  # the gated METEOR driver needs the string corpora
+    try:
+        from show_tell_tpu.native import fastmetrics
+    except Exception:
+        return None
+    if not fastmetrics.is_available():
+        return None
+    out = fastmetrics.score_batch(target, predicted)
+    if out is None:
+        return None
+    bleu_totals, cider_per, rouge_per = out
+    scores: Dict[str, float] = {}
+    # Corpus BLEU from the exact-integer totals — the same final float
+    # expression as bleu_corpus (metrics.py:179-187).
+    total_guess, total_correct = bleu_totals[0:4], bleu_totals[4:8]
+    total_testlen, total_reflen = float(bleu_totals[8]), float(bleu_totals[9])
+    prod = 1.0
+    ratio = (total_testlen + _TINY) / (total_reflen + _SMALL)
+    for k in range(4):
+        prod *= (float(total_correct[k]) + _TINY) / (float(total_guess[k]) + _SMALL)
+        s = prod ** (1.0 / (k + 1))
+        if ratio < 1:
+            s *= math.exp(1 - 1 / ratio)
+        scores["Bleu_%d" % (k + 1)] = s
+    if faithful:
+        scores["CIDEr"] = float(cider_per[-1])
+        scores["ROUGE_L"] = float(rouge_per[-1])
+    else:
+        scores["CIDEr"] = float(np.mean(cider_per))
+        scores["ROUGE_L"] = float(np.mean(rouge_per))
+    return scores
+
+
 def evaluate(target, predicted, faithful: bool = True) -> Dict[str, float]:
     """Reference evaluate() (:662-717): batch token lists -> score dict.
 
@@ -351,6 +396,10 @@ def evaluate(target, predicted, faithful: bool = True) -> Dict[str, float]:
     returns ``sc`` and is unaffected).  ``faithful=True`` (default)
     reproduces that; ``faithful=False`` returns the corpus means.
     """
+    native = _evaluate_native(target, predicted, faithful)
+    if native is not None:
+        return native
+
     gts = {}
     res = {}
     for i in range(len(target)):

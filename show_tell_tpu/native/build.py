@@ -45,5 +45,45 @@ def build(verbose: bool = True) -> bool:
     return True
 
 
+SRC_METRICS = os.path.join(os.path.dirname(__file__), "fastmetrics.cpp")
+LIB_METRICS = os.path.join(os.path.dirname(__file__), "libfastmetrics_v1.so")
+
+
+def build_metrics(verbose: bool = True) -> bool:
+    """Build the native caption scorer (fastmetrics.cpp).
+
+    -ffp-contract=off is load-bearing: FMA contraction would change
+    float roundings and break the bit-exactness contract with the
+    Python scorers (no -ffast-math for the same reason).
+    """
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-ffp-contract=off",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        SRC_METRICS,
+        "-o",
+        LIB_METRICS,
+    ]
+    try:
+        result = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        if verbose:
+            print("fastmetrics build failed:", e)
+        return False
+    if result.returncode != 0:
+        if verbose:
+            print("fastmetrics build failed:\n", result.stderr)
+        return False
+    if verbose:
+        print("built", LIB_METRICS)
+    return True
+
+
 if __name__ == "__main__":
-    raise SystemExit(0 if build() else 1)
+    ok = build()
+    ok = build_metrics() and ok
+    raise SystemExit(0 if ok else 1)

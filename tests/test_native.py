@@ -183,3 +183,88 @@ def test_loader_fast_jpeg_close_to_parity(tmp_path):
             np.testing.assert_array_equal(lenf, lenr)
             assert np.abs(imf.astype(int) - imr.astype(int)).mean() < 3.0
         lf.close(), lr.close()
+
+
+# ---------------------------------------------------------- fastmetrics ----
+
+
+class TestFastMetrics:
+    """Native caption scorer (fastmetrics.cpp): every score must be
+    BIT-IDENTICAL (==, no tolerance) to the pure-Python path — which is
+    itself pinned to the reference's vendored scorers (test_metrics.py).
+    """
+
+    @pytest.fixture(autouse=True)
+    def _need_lib(self):
+        from show_tell_tpu.native import fastmetrics
+
+        if not fastmetrics.is_available():
+            pytest.skip("libfastmetrics build unavailable")
+
+    @staticmethod
+    def _py_eval(target, predicted, faithful=True):
+        os.environ["ST_FASTMETRICS"] = "0"
+        try:
+            from show_tell_tpu.evaluation import metrics
+
+            return metrics.evaluate(target, predicted, faithful=faithful)
+        finally:
+            os.environ["ST_FASTMETRICS"] = "1"
+
+    def test_bit_exact_vs_python_fuzz(self):
+        import random
+
+        from show_tell_tpu.evaluation import metrics
+        from show_tell_tpu.native import fastmetrics
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(400)] + ["café", "東京", "naïve", "it's", "a-b"]
+        engaged = 0
+        for trial in range(60):
+            n = rng.randint(1, 48)
+            target = [
+                [[rng.choice(vocab) for _ in range(rng.randint(0, 14))] for _ in range(rng.randint(1, 5))]
+                for _ in range(n)
+            ]
+            pred = [[rng.choice(vocab) for _ in range(rng.randint(0, 16))] for _ in range(n)]
+            engaged += fastmetrics.score_batch(target, pred) is not None
+            for faithful in (True, False):
+                got = metrics.evaluate(target, pred, faithful=faithful)
+                want = self._py_eval(target, pred, faithful)
+                assert set(got) == set(want)
+                for k in want:
+                    assert got[k] == want[k], (trial, faithful, k, got[k], want[k])
+        assert engaged == 60  # the native path actually ran
+
+    def test_weird_tokens_fall_back_and_match(self):
+        """Tokens that break the reference's join/split round-trip must
+        take the Python path (score_batch returns None) and still score
+        identically through evaluate()."""
+        from show_tell_tpu.evaluation import metrics
+        from show_tell_tpu.native import fastmetrics
+
+        cases = [
+            ([[["a b", "c"]]], [["a"]]),  # space inside a token
+            ([[["a", ""]]], [["b"]]),  # empty token
+            ([[["a\tb"]]], [["a"]]),  # tab inside a token
+            ([[["a"]]], [["x\xa0y"]]),  # nbsp inside the hypothesis
+        ]
+        for target, pred in cases:
+            assert fastmetrics.score_batch(target, pred) is None
+            assert metrics.evaluate(target, pred) == self._py_eval(target, pred)
+
+    def test_empty_and_tiny_captions_native(self):
+        """Empty hypotheses/references stay on the NATIVE path (real
+        untrained-model output) — including ROUGE's split(" ") quirk
+        where two empty captions LCS-match as single empty tokens."""
+        from show_tell_tpu.evaluation import metrics
+        from show_tell_tpu.native import fastmetrics
+
+        target = [[[], ["a", "b"]], [["x"]], [["a"]]]
+        pred = [[], ["x"], ["a"]]
+        assert fastmetrics.score_batch(target, pred) is not None
+        for faithful in (True, False):
+            got = metrics.evaluate(target, pred, faithful=faithful)
+            want = self._py_eval(target, pred, faithful)
+            for k in want:
+                assert got[k] == want[k], (faithful, k)
