@@ -177,6 +177,7 @@ def build_arg_parser(
     add("--image_cache", type=str, default="", help="memmap cache of decoded 224x224 uint8 images (~150KB/image): each JPEG is decoded once per dataset instead of ~5x per epoch x num_epochs (annotation-keyed sampling shares images; augmentation runs on device so cached pixels are epoch-invariant). Caches by file NAME, not contents: delete the cache dir if image files are replaced")
     add("--attn_next_token", type=int, default=0, help="train attention variants with proper next-token targets instead of the reference's w_t->w_t copy alignment (SURVEY.md 3.2; see docs/ARCHITECTURE.md for why the faithful mode cannot caption)")
     add("--early_exit", type=int, default=0, help="stop eval decode (greedy or beam) as soon as every sequence/beam emitted <end> (lax.while_loop serving paths) — identical captions and metrics, decode wall-time follows the longest caption instead of the fixed 25 steps (reference rnn.py:39 decodes all 25 unconditionally)")
+    add("--score_threads", type=int, default=0, help="eval host-scoring thread pool size: the native per-batch scorer releases the GIL, so scoring parallelizes across host cores while the chip decodes ahead; results drain in batch order so all scores/prints are bit-identical to serial. 0 = auto (spare cores, capped at 8), 1 = serial")
     return p
 
 

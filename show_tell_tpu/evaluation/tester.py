@@ -322,14 +322,48 @@ def test_model(
     # loop's prefetch pattern (data/device_prefetch.py).
     from show_tell_tpu.data.device_prefetch import device_prefetch
 
+    # Scoring thread pool: evaluate()'s hot path is the NATIVE scorer
+    # (fastmetrics.cpp) whose ctypes call releases the GIL, so on a
+    # multi-core eval host the per-batch scoring parallelizes nearly
+    # linearly (a v5e-8's 8-way decode outruns one scoring core ~4x).
+    # Results are DRAINED IN BATCH ORDER (futures resolved idx-ascending
+    # at every print boundary and at the end), so every accumulation,
+    # print, and final score is bit-identical to the serial loop —
+    # pinned by test (tests/test_eval_sharded.py).  0 = auto: one
+    # worker per spare host core, capped at 8; serial below 2.
+    score_threads = int(params.get("score_threads", 0) or 0)
+    if score_threads <= 0:
+        score_threads = min(8, (os.cpu_count() or 1) - 1)
+    executor = None
+    if score_threads > 1 and not use_faithful:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=score_threads)
+    score_futures: Dict[int, Any] = {}
+
+    def _resolve_scores(upto: Optional[int] = None) -> None:
+        """Fold finished scoring futures into scored_rows/accum in idx
+        order (deterministic float accumulation)."""
+        for i in sorted(score_futures):
+            if upto is not None and i > upto:
+                break
+            row = score_futures.pop(i).result()
+            scored_rows[i] = row
+            for k, v in zip(SCORE_KEYS, row):
+                accum[k].append(v)
+
+    def _score_one(target_words, predicted_words):
+        eval_scores = evaluate(target_words, predicted_words)
+        return [eval_scores[k] for k in SCORE_KEYS]
+
     def consume(idx, img_paths, captions, loss, ids):
         """Host-side scoring of one decoded batch (blocks on the device
         results).  Runs one batch BEHIND the dispatch loop so the chip
         decodes batch i+1 while the host scores batch i — the scoring is
-        pure Python (n-gram counting, CIDEr tf-idf) and is the eval
-        bottleneck on a real TPU host, so the decode rides under it for
-        free.  Accumulation order and every printed line are identical
-        to the unpipelined loop (reference utils.py:168-224)."""
+        the eval bottleneck on a real TPU host, so the decode rides
+        under it for free.  Accumulation order and every printed line
+        are identical to the unpipelined loop (reference
+        utils.py:168-224)."""
         test_loss.append(float(loss))
 
         predicted_words = create_caption_word_format(np.asarray(ids), vocab, False)
@@ -344,14 +378,17 @@ def test_model(
                 candidate_caption_full[imgs] = [pdt]
 
         if idx % nproc == proc_id:  # nproc == 1: every batch
-            eval_scores = evaluate(target_words, predicted_words)
-            scored_rows[idx] = [eval_scores[k] for k in SCORE_KEYS]
-            for k, v in zip(SCORE_KEYS, scored_rows[idx]):
-                accum[k].append(v)
+            if executor is not None:
+                score_futures[idx] = executor.submit(_score_one, target_words, predicted_words)
+            else:
+                scored_rows[idx] = _score_one(target_words, predicted_words)
+                for k, v in zip(SCORE_KEYS, scored_rows[idx]):
+                    accum[k].append(v)
 
         # Single-process: running means over every batch so far, exactly
         # the reference print; multi-host: over this process' shard.
         if (idx + 1) % 100 == 0:
+            _resolve_scores(upto=idx)
             _m = lambda k: float(np.mean(accum[k])) if accum[k] else 0.0
             print(
                 "Step %d - %0.4f test loss, %0.2f time, %.3f BLEU1, %.3f BLEU2, %.3f BLEU3, %.3f BLEU4, %.3f CIDEr, %.3f ROUGE_L."
@@ -369,32 +406,37 @@ def test_model(
             )
 
     pending = None  # one in-flight batch: (idx, img_paths, captions, loss, ids)
-    for idx, (img_paths, images, captions, lengths) in enumerate(
-        device_prefetch(data_loader, mesh=mesh, replicated_indices=(2, 3))
-    ):
-        if idx == sub_batch_size:
-            break
-        key, sub = jax.random.split(key)
-        loss, ids = step_fn(
-            train_state.trainable, train_state.frozen, train_state.bn_state, images, captions, lengths, sub
-        )
-        if use_faithful:
-            # loss_only step returned the encoder feats in the ids slot
-            # (same flip draw as the loss; one ResNet forward per batch).
-            # The beam decode itself runs on the HOST step by step, so
-            # there is no device work to pipeline — consume in place.
-            full = merge_params(train_state.trainable, train_state.frozen)
-            ids = faithful_beam_decode(full["decoder"], cfg.decoder_config(), ids, beam_size)[None, :]
-            consume(idx, img_paths, captions, loss, ids)
-            continue
+    try:
+        for idx, (img_paths, images, captions, lengths) in enumerate(
+            device_prefetch(data_loader, mesh=mesh, replicated_indices=(2, 3))
+        ):
+            if idx == sub_batch_size:
+                break
+            key, sub = jax.random.split(key)
+            loss, ids = step_fn(
+                train_state.trainable, train_state.frozen, train_state.bn_state, images, captions, lengths, sub
+            )
+            if use_faithful:
+                # loss_only step returned the encoder feats in the ids slot
+                # (same flip draw as the loss; one ResNet forward per batch).
+                # The beam decode itself runs on the HOST step by step, so
+                # there is no device work to pipeline — consume in place.
+                full = merge_params(train_state.trainable, train_state.frozen)
+                ids = faithful_beam_decode(full["decoder"], cfg.decoder_config(), ids, beam_size)[None, :]
+                consume(idx, img_paths, captions, loss, ids)
+                continue
+            if pending is not None:
+                consume(*pending)
+            pending = (idx, img_paths, captions, loss, ids)
+            if not PIPELINE_SCORING:  # bench A/B: score in place (reference order)
+                consume(*pending)
+                pending = None
         if pending is not None:
             consume(*pending)
-        pending = (idx, img_paths, captions, loss, ids)
-        if not PIPELINE_SCORING:  # bench A/B: score in place (reference order)
-            consume(*pending)
-            pending = None
-    if pending is not None:
-        consume(*pending)
+        _resolve_scores()
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=True)
 
     # Reassemble the full per-batch score table (multi-host: each row was
     # computed by exactly one process) and average it in batch order.
@@ -432,9 +474,12 @@ def test_model(
             pickle.dump(candidate_caption_full, f)
 
     # ------ per-image nltk corpus BLEU pass (utils.py:232-246) -------- #
-    # nltk_bleu4_method4 is a one-pass, bit-equal replacement for the
-    # reference's 4 corpus_bleu(method4) calls per candidate (~7x faster;
-    # fuzz-pinned against the installed nltk in tests/test_metrics.py).
+    # The native scorer (fastmetrics.corpus_bleu4_sums, ~12x) and
+    # nltk_bleu4_method4 (one-pass Python, ~7x) are both bit-equal to
+    # the reference's 4 corpus_bleu(method4) calls per candidate
+    # (fuzz-pinned in tests/test_metrics.py and tests/test_native.py).
+    from show_tell_tpu.native import fastmetrics
+
     weights = [(1.0, 0, 0, 0), (0.5, 0.5, 0, 0), (0.34, 0.33, 0.33, 0), (0.25, 0.25, 0.25, 0.25)]
     # Dict insertion order is identical on every process (same loader
     # stream, same batches), so image i % nproc == proc_id shards the
@@ -445,13 +490,15 @@ def test_model(
     for i, img_nm in enumerate(img_names):
         if i % nproc != proc_id:
             continue
-        sums = [0.0] * 4
         cands = candidate_caption_full[img_nm]
         refs = target_caption_full[img_nm]
-        for cand in cands:
-            vals = metrics.nltk_bleu4_method4(refs, cand, weights)
-            for w in range(4):
-                sums[w] += vals[w]
+        sums = fastmetrics.corpus_bleu4_sums(refs, cands, weights)
+        if sums is None:  # Python path: unavailable lib or exotic tokens
+            sums = [0.0] * 4
+            for cand in cands:
+                vals = metrics.nltk_bleu4_method4(refs, cand, weights)
+                for w in range(4):
+                    sums[w] += vals[w]
         for w in range(4):
             corpus_rows[i, w] = sums[w] / len(cands)
     corpus_rows = _combine_score_table(corpus_rows)

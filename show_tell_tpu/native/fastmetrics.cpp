@@ -123,6 +123,81 @@ static int32_t lcs_len(const uint32_t* a, int32_t la, const uint32_t* b, int32_t
   return prev[lb];
 }
 
+// Split a flat single-space-separated blob into interned token ids.
+// Returns 0, -1 on >=65535 distinct tokens, -3 on token-count mismatch
+// (a token containing a space) or an empty token.
+static int intern_blob(const char* tokens, int64_t blob_len, int64_t n_tokens,
+                       std::vector<uint32_t>& ids) {
+  ids.resize(n_tokens);
+  std::unordered_map<std::string_view, uint32_t> intern;
+  intern.reserve(256);
+  const char* p = tokens;
+  const char* end = tokens + blob_len;
+  int64_t t = 0;
+  while (p < end) {
+    const char* sp = (const char*)memchr(p, ' ', end - p);
+    const char* tok_end = sp ? sp : end;
+    if (tok_end == p) return -3;   // empty token: "" in the token list
+    if (t >= n_tokens) return -3;  // a token contained a space
+    std::string_view tok(p, tok_end - p);
+    auto it = intern.find(tok);
+    if (it == intern.end()) {
+      uint32_t id = (uint32_t)intern.size();
+      if (id >= 65535) return -1;  // key packing limit; caller falls back
+      it = intern.emplace(tok, id).first;
+    }
+    ids[t++] = it->second;
+    p = tok_end + 1;
+  }
+  return t == n_tokens ? 0 : -3;
+}
+
+// math.fsum for a short vector — CPython's Shewchuk partials algorithm
+// ported op-for-op (Modules/mathmodule.c), so the result is the same
+// correctly-rounded sum nltk's geometric mean sees.
+static double py_fsum(const double* a, int n) {
+  double partials[8];  // callers pass <= 4 terms; partials can't exceed that
+  int np = 0;
+  for (int i = 0; i < n; ++i) {
+    double x = a[i];
+    int used = 0;
+    for (int j = 0; j < np; ++j) {
+      double y = partials[j];
+      if (std::fabs(x) < std::fabs(y)) {
+        double tmp = x;
+        x = y;
+        y = tmp;
+      }
+      const double hi = x + y;
+      const double lo = y - (hi - x);
+      if (lo != 0.0) partials[used++] = lo;
+      x = hi;
+    }
+    partials[used++] = x;
+    np = used;
+  }
+  double hi = 0.0;
+  if (np > 0) {
+    int n2 = np;
+    hi = partials[--n2];
+    double lo = 0.0;
+    while (n2 > 0) {
+      const double x = hi;
+      const double y = partials[--n2];
+      hi = x + y;
+      const double yr = hi - x;
+      lo = y - yr;
+      if (lo != 0.0) break;
+    }
+    if (n2 > 0 && ((lo < 0.0 && partials[n2 - 1] < 0.0) || (lo > 0.0 && partials[n2 - 1] > 0.0))) {
+      const double y = lo * 2.0;
+      const double x = hi + y;
+      if (y == x - hi) hi = x;
+    }
+  }
+  return hi;
+}
+
 }  // namespace
 
 extern "C" {
@@ -158,29 +233,10 @@ int st_eval_batch(const char* tokens, int64_t blob_len, int64_t n_tokens,
 
   // ---- split the flat blob on ' ' and intern tokens to dense ids
   // (16-bit, so a 4-gram packs in 64).
-  std::vector<uint32_t> ids(n_tokens);
+  std::vector<uint32_t> ids;
   {
-    std::unordered_map<std::string_view, uint32_t> intern;
-    intern.reserve(1024);
-    const char* p = tokens;
-    const char* end = tokens + blob_len;
-    int64_t t = 0;
-    while (p < end) {
-      const char* sp = (const char*)memchr(p, ' ', end - p);
-      const char* tok_end = sp ? sp : end;
-      if (tok_end == p) return -3;  // empty token: "" in the token list
-      if (t >= n_tokens) return -3;  // a token contained a space
-      std::string_view tok(p, tok_end - p);
-      auto it = intern.find(tok);
-      if (it == intern.end()) {
-        uint32_t id = (uint32_t)intern.size();
-        if (id >= 65535) return -1;  // key packing limit; caller falls back
-        it = intern.emplace(tok, id).first;
-      }
-      ids[t++] = it->second;
-      p = tok_end + 1;
-    }
-    if (t != n_tokens) return -3;
+    const int rc = intern_blob(tokens, blob_len, n_tokens, ids);
+    if (rc != 0) return rc;
   }
 
   std::vector<Caption> caps(n_captions);
@@ -350,6 +406,127 @@ int st_eval_batch(const char* tokens, int64_t blob_len, int64_t n_tokens,
     }
   }
 
+  return 0;
+}
+
+// The reference's final per-image eval pass (utils.py:232-246): for one
+// image, sum nltk corpus_bleu([refs],[cand],w,method4) over candidates
+// for every weight tuple — bit-identical to metrics.nltk_bleu4_method4
+// (itself fuzz-pinned == against the installed nltk), candidates
+// accumulated in order so the float sums match Python's.
+//
+// tokens/blob_len/n_tokens: flat " ".join blob as in st_eval_batch;
+//   captions ordered: the n_refs references first, then the n_cands
+//   candidate hypotheses.  tok_counts[c] per caption.
+// weights: n_weights tuples of 4 doubles.  smooth_k: nltk's k (5).
+// out_sums[w] = sum over candidates of the weight-w score.
+int st_bleu4_method4_image(const char* tokens, int64_t blob_len, int64_t n_tokens,
+                           const int32_t* tok_counts, int32_t n_refs, int32_t n_cands,
+                           const double* weights, int32_t n_weights, int32_t smooth_k,
+                           double* out_sums) {
+  if (n_refs < 1 || n_cands < 1) return -2;
+  std::vector<uint32_t> ids;
+  {
+    const int rc = intern_blob(tokens, blob_len, n_tokens, ids);
+    if (rc != 0) return rc;
+  }
+  const int64_t n_caps = (int64_t)n_refs + n_cands;
+  std::vector<const uint32_t*> cap_ids(n_caps);
+  {
+    int64_t off = 0, expect = 0;
+    for (int64_t c = 0; c < n_caps; ++c) {
+      cap_ids[c] = ids.data() + off;
+      off += tok_counts[c];
+      expect += tok_counts[c];
+    }
+    if (expect != n_tokens) return -3;
+  }
+
+  // Reference n-gram counts per (ref, n) — hoisted across candidates
+  // (integer counts; Python rebuilds them per candidate, same values).
+  std::vector<std::unordered_map<uint64_t, int32_t>> ref_maps((size_t)n_refs * 4);
+  for (int32_t r = 0; r < n_refs; ++r) {
+    const int32_t len = tok_counts[r];
+    for (int n = 1; n <= 4; ++n) {
+      auto& m = ref_maps[(size_t)r * 4 + (n - 1)];
+      for (int32_t pos = 0; pos + n <= len; ++pos) {
+        uint64_t key = 0;
+        for (int j = 0; j < n; ++j) key |= (uint64_t)cap_ids[r][pos + j] << (16 * j);
+        m[key] += 1;
+      }
+    }
+  }
+  // closest ref length: min over (abs(rl - hyp_len), rl) — per candidate.
+  std::vector<int32_t> reflens(n_refs);
+  for (int32_t r = 0; r < n_refs; ++r) reflens[r] = tok_counts[r];
+
+  for (int32_t w = 0; w < n_weights; ++w) out_sums[w] = 0.0;
+
+  std::unordered_map<uint64_t, int32_t> hyp_cnt;
+  for (int32_t cand = 0; cand < n_cands; ++cand) {
+    const int32_t hyp_len = tok_counts[n_refs + cand];
+    const uint32_t* hyp = cap_ids[n_refs + cand];
+    int64_t nums[4] = {0, 0, 0, 0}, dens[4];
+    for (int n = 1; n <= 4; ++n) {
+      hyp_cnt.clear();
+      for (int32_t pos = 0; pos + n <= hyp_len; ++pos) {
+        uint64_t key = 0;
+        for (int j = 0; j < n; ++j) key |= (uint64_t)hyp[pos + j] << (16 * j);
+        hyp_cnt[key] += 1;
+      }
+      int64_t num = 0;
+      for (const auto& kv : hyp_cnt) {
+        int32_t max_c = 0;
+        for (int32_t r = 0; r < n_refs; ++r) {
+          const auto& m = ref_maps[(size_t)r * 4 + (n - 1)];
+          auto it = m.find(kv.first);
+          const int32_t c = it == m.end() ? 0 : it->second;
+          if (c > max_c) max_c = c;
+        }
+        num += kv.second < max_c ? kv.second : max_c;
+      }
+      nums[n - 1] = num;
+      const int64_t total = hyp_len >= n ? hyp_len - n + 1 : 0;
+      dens[n - 1] = total > 1 ? total : 1;  // max(1, sum(counts))
+    }
+    if (nums[0] == 0) continue;  // contributes exact 0.0 to every sum
+
+    const int32_t closest = closest_reflen(reflens, hyp_len);
+    double bp;
+    if (hyp_len > closest)
+      bp = 1.0;
+    else if (hyp_len == 0)
+      bp = 0.0;
+    else
+      bp = std::exp(1.0 - (double)closest / (double)hyp_len);
+
+    double logs[4] = {0.0, 0.0, 0.0, 0.0};
+    bool positive[4] = {false, false, false, false};
+    int64_t incvnt = 1;
+    for (int i = 0; i < 4; ++i) {
+      if (nums[i] == 0) {
+        if (hyp_len > 1) {
+          // 1 / (2**incvnt * k / math.log(hyp_len)) — integer 2**i * k,
+          // then int/double, exactly Python's evaluation order.
+          const double numerator =
+              1.0 / ((double)((int64_t(1) << incvnt) * smooth_k) / std::log((double)hyp_len));
+          logs[i] = std::log(numerator / (double)dens[i]);
+          positive[i] = true;
+          incvnt += 1;
+        }
+      } else {
+        logs[i] = std::log((double)nums[i] / (double)dens[i]);
+        positive[i] = true;
+      }
+    }
+    for (int32_t w = 0; w < n_weights; ++w) {
+      double terms[4];
+      int nt = 0;
+      for (int i = 0; i < 4; ++i)
+        if (positive[i]) terms[nt++] = weights[w * 4 + i] * logs[i];
+      out_sums[w] += bp * std::exp(py_fsum(terms, nt));
+    }
+  }
   return 0;
 }
 

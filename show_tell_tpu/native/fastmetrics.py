@@ -80,6 +80,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),  # cider_per_image
             ctypes.POINTER(ctypes.c_double),  # rouge_per_image
         ]
+        lib.st_bleu4_method4_image.restype = ctypes.c_int
+        lib.st_bleu4_method4_image.argtypes = [
+            ctypes.c_char_p,  # tokens blob (refs then candidates)
+            ctypes.c_int64,  # blob byte length
+            ctypes.c_int64,  # expected total token count
+            ctypes.POINTER(ctypes.c_int32),  # tok_counts
+            ctypes.c_int32,  # n_refs
+            ctypes.c_int32,  # n_cands
+            ctypes.POINTER(ctypes.c_double),  # weights [n_weights*4]
+            ctypes.c_int32,  # n_weights
+            ctypes.c_int32,  # smooth_k
+            ctypes.POINTER(ctypes.c_double),  # out_sums [n_weights]
+        ]
         _lib = lib
         return _lib
 
@@ -153,3 +166,57 @@ def score_batch(
     if rcode != 0:
         return None
     return bleu_totals, cider, rouge
+
+
+def corpus_bleu4_sums(
+    references: Sequence[Sequence[str]],
+    candidates: Sequence[Sequence[str]],
+    weights: Sequence[Tuple[float, ...]],
+    k: int = 5,
+) -> Optional[np.ndarray]:
+    """Per-image corpus-BLEU pass (reference utils.py:232-246): for each
+    weight tuple, the SUM over candidates of nltk
+    corpus_bleu([references], [cand], w, method4) — bit-identical to
+    summing metrics.nltk_bleu4_method4 per candidate (exact ``==``
+    differential tests in tests/test_native.py).  None -> caller uses
+    the Python path (library unavailable, no refs/cands, or tokens that
+    break the join/split round-trip)."""
+    lib = _load()
+    if (
+        lib is None
+        or not references
+        or not candidates
+        or os.environ.get("ST_FASTMETRICS", "1") == "0"
+    ):
+        return None
+
+    flat: List[str] = []
+    tok_counts: List[int] = []
+    for cap in references:
+        tok_counts.append(len(cap))
+        flat.extend(cap)
+    for cap in candidates:
+        tok_counts.append(len(cap))
+        flat.extend(cap)
+    s = " ".join(flat)
+    if _WS_NONSPACE.search(s):
+        return None
+    blob = s.encode("utf-8")
+    w = np.ascontiguousarray(weights, dtype=np.float64)
+    tc = np.asarray(tok_counts, dtype=np.int32)
+    out = np.zeros(len(weights), dtype=np.float64)
+    rcode = lib.st_bleu4_method4_image(
+        blob,
+        len(blob),
+        int(len(flat)),
+        tc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(references),
+        len(candidates),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(weights),
+        k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rcode != 0:
+        return None
+    return out

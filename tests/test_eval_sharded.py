@@ -76,7 +76,7 @@ def _cfg(variant="gru"):
     )
 
 
-def _run_eval(tmp_path, variant, dp, mp=1, beam_size=0, tail=3, seed_model=0):
+def _run_eval(tmp_path, variant, dp, mp=1, beam_size=0, tail=3, seed_model=0, score_threads=None):
     from show_tell_tpu.evaluation.tester import test_model
 
     cfg = _cfg(variant)
@@ -86,6 +86,8 @@ def _run_eval(tmp_path, variant, dp, mp=1, beam_size=0, tail=3, seed_model=0):
 
     os.makedirs(out, exist_ok=True)
     params = {"output_dir": out, "dp": dp, "mp": mp, "use_pallas": 0}
+    if score_threads is not None:
+        params["score_threads"] = score_threads
     return test_model(
         ts, cfg, _Loader(tail=tail), _Vocab(), params, beam_size=beam_size, seed=7
     )
@@ -157,3 +159,18 @@ def test_eval_mp_must_divide_vocab(tmp_path):
     params = {"output_dir": str(tmp_path), "dp": 4, "mp": 2}
     with pytest.raises(ValueError, match="vocab_size"):
         test_model(ts, cfg, _Loader(), _Vocab(41), params)
+
+
+def test_eval_score_thread_pool_bit_equal(tmp_path):
+    """--score_threads 4 (host scoring parallelized across a thread
+    pool; futures drained in batch order) returns the exact score dict
+    of the serial loop — including the per-batch table means and the
+    Final_Bleu rows, which depend on float accumulation order."""
+    ref = _run_eval(tmp_path, "gru", dp=1, score_threads=1)
+    pooled = _run_eval(tmp_path, "gru", dp=1, score_threads=4, seed_model=0)
+    assert set(ref) == set(pooled)
+    for k in ref:
+        if k == "test_loss":
+            np.testing.assert_allclose(pooled[k], ref[k], rtol=1e-5)
+        else:
+            assert pooled[k] == ref[k], (k, pooled[k], ref[k])

@@ -268,3 +268,31 @@ class TestFastMetrics:
             want = self._py_eval(target, pred, faithful)
             for k in want:
                 assert got[k] == want[k], (faithful, k)
+
+    def test_corpus_bleu4_sums_bit_exact(self):
+        """Native per-image corpus-BLEU pass == summing the (nltk-pinned)
+        Python nltk_bleu4_method4 per candidate, bit-identically —
+        including the CPython fsum port for the weighted log sums."""
+        import random
+
+        from show_tell_tpu.evaluation.metrics import nltk_bleu4_method4
+        from show_tell_tpu.native import fastmetrics
+
+        weights = [(1.0, 0, 0, 0), (0.5, 0.5, 0, 0), (0.34, 0.33, 0.33, 0), (0.25, 0.25, 0.25, 0.25)]
+        rng = random.Random(13)
+        vocab = ["a", "b", "c", "dog", "cat", "runs", "the", "on", "mat", "東京"]
+        for trial in range(300):
+            refs = [[rng.choice(vocab) for _ in range(rng.randint(0, 15))] for _ in range(rng.randint(1, 5))]
+            cands = [[rng.choice(vocab) for _ in range(rng.randint(0, 16))] for _ in range(rng.randint(1, 6))]
+            got = fastmetrics.corpus_bleu4_sums(refs, cands, weights)
+            assert got is not None
+            sums = [0.0] * 4
+            for c in cands:
+                v = nltk_bleu4_method4(refs, c, weights)
+                for w in range(4):
+                    sums[w] += v[w]
+            for w in range(4):
+                assert got[w] == sums[w], (trial, w, got[w], sums[w])
+        # exotic tokens fall back
+        assert fastmetrics.corpus_bleu4_sums([["a b"]], [["a"]], weights) is None
+        assert fastmetrics.corpus_bleu4_sums([["a", ""]], [["a"]], weights) is None
