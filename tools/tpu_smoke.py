@@ -153,6 +153,10 @@ def bench_decode():
     """`python tools/tpu_smoke.py --bench`: Pallas hybrid decode vs the
     XLA scan at serving shapes (VERDICT r1 item 4).  Each timing is a
     median of 5 reps x 5 iters after 12 warmups; run in a fresh process.
+    (bench.py's HEADLINE throughput uses min-of-7 instead — see
+    bench._best_time.  The smoke table keeps median because each row is
+    an A/B RATIO measured under one estimator on both sides, where
+    median's robustness matters more than absolute calibration.)
 
     Besides the printed table, writes one JSON line per kernel A/B to
     smoke_bench.json at the repo root so round-over-round kernel
@@ -185,7 +189,7 @@ def bench_decode():
         """Median of 5 reps of 5 back-to-back calls, cycling DISTINCT
         argument arrays — repeated identical executions through the
         remote-compile tunnel can return absurdly fast (CLAUDE.md), the
-        same reason bench.py's _median_time cycles its inputs."""
+        same reason bench.py's _best_time cycles its inputs."""
         n = 0
         for _ in range(12):
             jax.block_until_ready(fn(args_list[n % len(args_list)]))
