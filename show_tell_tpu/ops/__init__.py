@@ -26,6 +26,21 @@ def pallas_auto_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def pallas_whole_decode_default() -> bool:
+    """Auto policy for the whole-decode kernel — ALL T greedy steps in
+    ONE Mosaic invocation (ops/whole_decode_pallas.py: time axis in the
+    grid, hidden states VMEM-resident across steps, embedding feedback
+    folded into the argmax merge).  ON for TPU backends: measured on
+    the T=200-amplified protocol (tools/tpu_smoke.py --bench,
+    `gru_greedy_whole_t200` row) it removes the per-step Mosaic launch,
+    the XLA embed gather, and the scan carry threading that made up the
+    fused per-step kernel's overhead residue; see smoke_bench.json for
+    the current round's A/B.  Fixed-T GRU greedy with an unsharded
+    vocab projection only — every other decode keeps the per-step
+    kernels (guards in rnn_pallas.greedy_decode_pallas)."""
+    return jax.default_backend() == "tpu"
+
+
 def pallas_beam_default() -> bool:
     """Auto policy for the fused projection+top-k beam step
     (ops/vocab_pallas.project_topk_pallas): OFF, by measurement.

@@ -270,6 +270,7 @@ def greedy_decode_pallas(
     interpret: bool = None,
     end_token: "int | None" = None,
     vocab_sharded: "bool | None" = None,
+    whole_decode: "bool | None" = None,
 ) -> jax.Array:
     """Greedy decode (reference rnn.py:44-58 / rnn_lstm.py:35-55
     semantics) with the fully fused Pallas step: L-layer recurrence +
@@ -321,6 +322,31 @@ def greedy_decode_pallas(
 
         vocab_sharded = vocab_projection_is_sharded(params["linear"])
     vocab_kernel = not vocab_sharded
+    # Whole-decode: ALL T steps in one Mosaic invocation (grid runs the
+    # time axis; hidden states live in VMEM scratch for the whole decode
+    # and the embedding feedback is folded into the argmax merge —
+    # ops/whole_decode_pallas.py).  Fixed-T only (no dynamic trip count
+    # inside a Mosaic grid, so early-exit keeps the while_loop engine),
+    # GRU-only, unsharded vocab projection only.
+    if whole_decode is None:
+        from show_tell_tpu.ops import pallas_whole_decode_default
+
+        whole_decode = pallas_whole_decode_default()
+    if (
+        whole_decode
+        and end_token is None
+        and cfg.cell_type == "gru"
+        and vocab_kernel
+    ):
+        from show_tell_tpu.ops.whole_decode_pallas import (
+            gru_whole_greedy_decode_pallas,
+            whole_decode_fits,
+        )
+
+        if whole_decode_fits(
+            cfg.hidden_dim, params["embedding"].shape[1], dtype, interpret=interpret
+        ):
+            return gru_whole_greedy_decode_pallas(params, cfg, cnn_feature, interpret=interpret)
     if vocab_kernel:
         vocab = prepare_vocab(params["linear"])  # padded ONCE, outside the scan
     hs0 = jnp.zeros((cfg.num_layers, B, cfg.hidden_dim), dtype)

@@ -704,3 +704,132 @@ def test_standalone_kernels_per_shard_row_padding():
     finally:
         for m, pick, pad in saved:
             m._pick_block_b, m._pad_rows = pick, pad
+
+
+def test_whole_decode_pallas_matches_xla():
+    """The whole-T-step decode kernel (ops/whole_decode_pallas.py) ==
+    the XLA greedy scan, token-for-token: multi-layer, E < H padding,
+    V not a block multiple, f32 and bf16."""
+    from show_tell_tpu.ops.whole_decode_pallas import gru_whole_greedy_decode_pallas
+
+    for seed, (E, H, V, L, B, T) in enumerate([(32, 64, 70, 3, 8, 9), (64, 64, 128, 1, 4, 5)]):
+        cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=T)
+        params = init_decoder_params(jax.random.PRNGKey(seed), cfg)
+        feat = jnp.asarray(np.random.RandomState(seed).randn(B, E).astype(np.float32))
+        ref = np.asarray(greedy_decode(params, cfg, feat))
+        got = np.asarray(
+            gru_whole_greedy_decode_pallas(params, cfg, feat, block_v=32, interpret=True)
+        )
+        np.testing.assert_array_equal(got, ref)
+        # bf16 serving dtype: the one-hot embedding feedback must be an
+        # exact row copy (f32 one-hot accumulation of a bf16 row), so
+        # the kernel still matches the XLA scan token-for-token.
+        pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        ref16 = np.asarray(greedy_decode(pb, cfg, feat.astype(jnp.bfloat16)))
+        got16 = np.asarray(
+            gru_whole_greedy_decode_pallas(pb, cfg, feat.astype(jnp.bfloat16), block_v=32, interpret=True)
+        )
+        np.testing.assert_array_equal(got16, ref16)
+
+
+def test_whole_decode_pallas_tie_semantics():
+    """The best_emb merge must follow the same first-max tie rule as
+    best_idx — a tie inside a block and a duplicate max in a later
+    block must feed back the FIRST winner's embedding row, steering the
+    whole trajectory exactly like jnp.argmax + gather."""
+    from show_tell_tpu.ops.whole_decode_pallas import gru_whole_greedy_decode_pallas
+
+    E, H, V, L, B, T, BLK = 16, 16, 64, 1, 4, 6, 16
+    cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=T)
+    params = init_decoder_params(jax.random.PRNGKey(2), cfg)
+    # force exact logit ties: zero projection weights, bias carries
+    # duplicate maxima within block 0 (cols 3,5) and across blocks (37)
+    params["linear"]["w"] = jnp.zeros((H, V), jnp.float32)
+    params["linear"]["b"] = jnp.zeros((V,), jnp.float32).at[jnp.array([3, 5, 37])].set(7.0)
+    feat = jnp.asarray(np.random.RandomState(3).randn(B, E).astype(np.float32))
+    ref = np.asarray(greedy_decode(params, cfg, feat))
+    got = np.asarray(gru_whole_greedy_decode_pallas(params, cfg, feat, block_v=BLK, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    assert (got == 3).all()  # every step: first-index winner
+    # strictly greater in a later block displaces — and its EMBEDDING
+    # must be the one fed back (distinct rows => distinct trajectories
+    # would diverge from the XLA scan if the merge picked the wrong row)
+    params["linear"]["b"] = params["linear"]["b"].at[37].set(8.0)
+    ref2 = np.asarray(greedy_decode(params, cfg, feat))
+    got2 = np.asarray(gru_whole_greedy_decode_pallas(params, cfg, feat, block_v=BLK, interpret=True))
+    np.testing.assert_array_equal(got2, ref2)
+    assert (got2 == 37).all()
+
+
+def test_whole_decode_pallas_row_padding_and_batch_blocks():
+    """B above the (shrunken) block envelope and not a multiple: the raw
+    fn pads rows per-shard and splits into batch blocks; scratch state
+    (hs, x_buf, argmax trio) must re-initialize per batch block."""
+    from show_tell_tpu.ops import whole_decode_pallas as wdp
+
+    E, H, V, L, B, T = 32, 64, 70, 2, 24, 7
+    cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=T)
+    params = init_decoder_params(jax.random.PRNGKey(4), cfg)
+    feat = jnp.asarray(np.random.RandomState(5).randn(B, E).astype(np.float32))
+    orig_pick, orig_pad = wdp._pick_block_b, wdp._pad_rows
+    wdp._pick_block_b = lambda b: b if b <= 16 else 16
+    wdp._pad_rows = lambda b: (-b) % 16 if b > 16 else 0
+    try:
+        got = np.asarray(wdp.gru_whole_greedy_decode_pallas(params, cfg, feat, block_v=32, interpret=True))
+    finally:
+        wdp._pick_block_b, wdp._pad_rows = orig_pick, orig_pad
+    ref = np.asarray(greedy_decode(params, cfg, feat))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_whole_decode_wiring_and_guards():
+    """greedy_decode_pallas routes to the whole-decode kernel only for
+    fixed-T unsharded-vocab GRU decodes; early-exit and forced-off keep
+    the per-step path.  All routes produce identical tokens."""
+    from show_tell_tpu.ops import whole_decode_pallas as wdp
+
+    E, H, V, L, B, T = 32, 64, 70, 2, 6, 8
+    cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=T)
+    params = init_decoder_params(jax.random.PRNGKey(6), cfg)
+    feat = jnp.asarray(np.random.RandomState(7).randn(B, E).astype(np.float32))
+    calls = []
+    orig = wdp.gru_whole_greedy_decode_pallas
+    wdp.gru_whole_greedy_decode_pallas = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        ref = np.asarray(greedy_decode(params, cfg, feat))
+        got = np.asarray(greedy_decode_pallas(params, cfg, feat, interpret=True, whole_decode=True))
+        assert calls == [1]
+        np.testing.assert_array_equal(got, ref)
+        # early-exit must NOT route through the fixed-T kernel
+        ee = np.asarray(
+            greedy_decode_pallas(params, cfg, feat, interpret=True, whole_decode=True, end_token=2)
+        )
+        assert calls == [1]
+        # forced off: per-step path, same tokens
+        off = np.asarray(greedy_decode_pallas(params, cfg, feat, interpret=True, whole_decode=False))
+        assert calls == [1]
+        np.testing.assert_array_equal(off, ref)
+    finally:
+        wdp.gru_whole_greedy_decode_pallas = orig
+
+
+def test_whole_decode_partitions_under_mesh():
+    """Batch-parallel GSPMD rule: the whole-decode kernel under a dp=8
+    mesh == unsharded, bit-equal (same contract as every other kernel,
+    ops/partition.py)."""
+    from show_tell_tpu.ops.whole_decode_pallas import gru_whole_greedy_decode_pallas
+    from show_tell_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8, mp=1)
+    E, H, V, L, B, T = 32, 64, 70, 2, 16, 6
+    cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=T)
+    params = init_decoder_params(jax.random.PRNGKey(8), cfg)
+    feat = jnp.asarray(np.random.RandomState(9).randn(B, E).astype(np.float32))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fn = lambda f: gru_whole_greedy_decode_pallas(params, cfg, f, block_v=32, interpret=True)
+    ref = jax.jit(fn)(feat)
+    sharded = jax.device_put(feat, NamedSharding(mesh, P("dp", None)))
+    got = jax.jit(fn)(sharded)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
