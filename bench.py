@@ -177,9 +177,11 @@ def _flagship_serve(batch: int, warmup: int = 12, variant: str = "gru"):
     return cfg, serve, key
 
 
-def bench_train(batch: int = 256, variant: str = "gru"):
+def bench_train(batch: int = 256, variant: str = "gru", bf16: bool = False):
     """Secondary mode (`python bench.py --train [B]` / `--train_attn`):
-    full train-step throughput in f32 (parity dtype).  Reference
+    full train-step throughput in f32 (parity dtype); add `--bf16` for
+    the mixed-precision mode (`--train_dtype bfloat16`: bf16 compute,
+    f32 master weights/optimizer — train_step.py).  Reference
     baseline: ~402 samples/s on an RTX 2080 (28.6h for 100 epochs x 414k
     samples, BASELINE.md).
     Note: measure in a FRESH process, and expect run-to-run variance on
@@ -192,10 +194,12 @@ def bench_train(batch: int = 256, variant: str = "gru"):
     from show_tell_tpu.train.optim import make_optimizer
     from show_tell_tpu.train.train_step import create_train_state, make_train_step
 
+    import jax.numpy as jnp
+
     cfg = _flagship_cfg(variant)
     opt = make_optimizer("SGD", 0.001, 0.9)
     ts = create_train_state(jax.random.PRNGKey(0), cfg, opt)
-    step = make_train_step(cfg, opt, augment=True)
+    step = make_train_step(cfg, opt, augment=True, compute_dtype=jnp.bfloat16 if bf16 else None)
 
     rng = np.random.RandomState(0)
     T = 32
@@ -228,7 +232,9 @@ def bench_train(batch: int = 256, variant: str = "gru"):
     print(
         json.dumps(
             {
-                "metric": "train_samples_per_sec_per_chip" + ("" if variant == "gru" else "_" + variant),
+                "metric": "train_samples_per_sec_per_chip"
+                + ("" if variant == "gru" else "_" + variant)
+                + ("_bf16" if bf16 else ""),
                 "value": round(sps, 2),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(sps / 402.0, 3),
@@ -365,25 +371,31 @@ def bench_latency_suite(only_batch: int = 0):
                 )
 
 
-def bench_beam(beam: int = 3, batch: int = 256):
-    """`python bench.py --beam [K] [B]`: batched beam-search serving
-    throughput (BASELINE.json north-star beam configs are widths 3/5).
-    The beam rides the batch dimension: one log-softmax + top-k over k*V
-    per step, per-hypothesis state gathered on device (decode/beam.py) —
-    the reference's beam runs batch=1 on host-synced steps."""
+def bench_beam(beam: int = 3, batch: int = 256, variant: str = "gru"):
+    """`python bench.py --beam [K] [B] [--attn|--lstm|--attn_lstm]`:
+    batched beam-search serving throughput for every model family
+    (BASELINE.json north-star beam configs are widths 3/5, crossed with
+    all four variants).  The beam rides the batch dimension: one
+    log-softmax + top-k over k*V per step, per-hypothesis state gathered
+    on device (decode/beam.py); the attention families recompute context
+    per hypothesis through the fused step kernel (attn_beam_search_decode)
+    — the reference's beam runs batch=1 on host-synced steps and its
+    attention models have no beam at all (rnn_attn.py:120-145)."""
     import jax
     import jax.numpy as jnp
 
     from show_tell_tpu.data.transforms import preprocess_images
-    from show_tell_tpu.decode.beam import beam_search_decode
+    from show_tell_tpu.decode.beam import attn_beam_search_decode, beam_search_decode
     from show_tell_tpu.models.encoder import encoder_forward
 
-    cfg, params, state = _flagship_params()
+    cfg, params, state = _flagship_params(variant)
 
     @jax.jit
     def serve(images_u8, key):
         images = preprocess_images(images_u8, key, augment=False, dtype=jnp.bfloat16)
         feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), images, training=False)
+        if cfg.is_attention:
+            return attn_beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam)
         return beam_search_decode(params["decoder"], cfg.decoder_config(), feats, beam)
 
     key = _warmup(serve, batch)
@@ -401,7 +413,8 @@ def bench_beam(beam: int = 3, batch: int = 256):
     print(
         json.dumps(
             {
-                "metric": "captions_per_sec_per_chip_beam%d" % beam,
+                "metric": "captions_per_sec_per_chip_beam%d" % beam
+                + ("" if variant == "gru" else "_" + variant),
                 "value": round(cps, 2),
                 "unit": "captions/s/chip",
                 "vs_baseline": round(cps / 1250.0, 3),
@@ -791,16 +804,88 @@ def bench_train_e2e(batch: int = 128, n_images: int = 1024):
     )
 
 
+def bench_grid(out_path: str = "BENCH_GRID.json"):
+    """`python bench.py --grid [OUT.json]`: the consolidated per-round
+    bench artifact (VERDICT r4 item 5) — every tracked serving / decode
+    / training / eval metric measured in its own FRESH process (the
+    only trustworthy protocol on this tunnel, CLAUDE.md) and written as
+    ONE JSON file, so round-over-round regressions are a mechanical
+    diff instead of a README archaeology exercise.  A mode that fails
+    or wedges records an error row; the rest of the grid still lands.
+    Runtime: ~16 modes x (compile + measure) — budget 1-2 h through a
+    congested tunnel."""
+    import subprocess
+
+    modes = [
+        ("greedy_gru", []),
+        ("greedy_lstm", ["--lstm"]),
+        ("greedy_attn", ["--attn"]),
+        ("greedy_attn_lstm", ["--attn_lstm"]),
+        ("beam3_gru", ["--beam", "3"]),
+        ("beam5_gru", ["--beam", "5"]),
+        ("beam3_attn", ["--beam", "3", "--attn"]),
+        ("beam5_attn", ["--beam", "5", "--attn"]),
+        ("beam3_attn_lstm", ["--beam", "3", "--attn_lstm"]),
+        ("beam5_attn_lstm", ["--beam", "5", "--attn_lstm"]),
+        ("latency_suite", ["--latency_suite"]),
+        ("train", ["--train"]),
+        ("train_attn", ["--train_attn"]),
+        ("train_e2e", ["--train_e2e"]),
+        ("eval", ["--eval"]),
+        ("input", ["--input"]),
+    ]
+    grid = []
+    for name, args in modes:
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, *args],
+                capture_output=True, text=True, timeout=2400,
+            )
+            rows = []
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        rows.append(json.loads(line))
+                    except ValueError:
+                        pass
+            if not rows:
+                raise RuntimeError(
+                    "no JSON rows (exit %d): %s" % (proc.returncode, proc.stderr[-400:])
+                )
+            grid.append({"mode": name, "rows": rows, "wall_s": round(time.perf_counter() - t0, 1)})
+        except Exception as e:  # one wedged mode must not kill the grid
+            grid.append({"mode": name, "error": str(e)[:500], "wall_s": round(time.perf_counter() - t0, 1)})
+        print(json.dumps(grid[-1]), file=sys.stderr, flush=True)
+    with open(out_path, "w") as f:
+        json.dump({"grid": grid}, f, indent=1)
+    ok = sum(1 for g in grid if "rows" in g)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_grid_modes_ok",
+                "value": ok,
+                "unit": "of %d modes -> %s" % (len(modes), out_path),
+                "vs_baseline": round(ok / len(modes), 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if "--train_e2e" in sys.argv:
+    if "--grid" in sys.argv:
+        args = [a for a in sys.argv[1:] if a.endswith(".json")]
+        bench_grid(args[0] if args else "BENCH_GRID.json")
+    elif "--train_e2e" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--train_e2e"]
         bench_train_e2e(int(args[0]) if args else 128)
     elif "--train_attn" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--train_attn"]
-        bench_train(int(args[0]) if args else 128, variant="attn")
+        args = [a for a in sys.argv[1:] if a.isdigit()]
+        bench_train(int(args[0]) if args else 128, variant="attn", bf16="--bf16" in sys.argv)
     elif "--train" in sys.argv:
-        args = [a for a in sys.argv[1:] if a not in ("--train",)]
-        bench_train(int(args[0]) if args else 256)
+        args = [a for a in sys.argv[1:] if a.isdigit()]
+        bench_train(int(args[0]) if args else 256, bf16="--bf16" in sys.argv)
     elif "--eval" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--eval"]
         bench_eval(int(args[0]) if args else 256)
@@ -817,8 +902,16 @@ if __name__ == "__main__":
         args = [a for a in sys.argv[1:] if a != "--input"]
         bench_input(int(args[0]) if args else 64)
     elif "--beam" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--beam"]
-        bench_beam(int(args[0]) if args else 3, int(args[1]) if len(args) > 1 else 256)
+        variant = "gru"
+        for flag, v in (("--attn", "attn"), ("--lstm", "lstm"), ("--attn_lstm", "attn_lstm")):
+            if flag in sys.argv:
+                variant = v
+        args = [a for a in sys.argv[1:] if a.isdigit()]
+        bench_beam(
+            int(args[0]) if args else 3,
+            int(args[1]) if len(args) > 1 else 256,
+            variant=variant,
+        )
     elif "--attn" in sys.argv:
         # Soft-attention GRU serving throughput (main_attn.py flagship).
         main(variant="attn", batch_default=256)

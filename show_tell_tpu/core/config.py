@@ -160,7 +160,8 @@ def build_arg_parser(
         add("--beam_size", type=int, default=0, help="Beam size in testing (framework extension; 0 = greedy like the reference)")
 
     # --- TPU-native extensions (not present in the reference CLI) ---
-    add("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"], help="eval/serving dtype (float32 for parity, bfloat16 for speed; metric deltas pinned <=0.05 by test). Training always runs the f32 parity dtype — its matmuls already take the bf16 MXU pass under jax default precision, so bf16 activations would buy nothing (measured 0.85-0.92 train MFU)")
+    add("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"], help="eval/serving dtype (float32 for parity, bfloat16 for speed; metric deltas pinned <=0.05 by test)")
+    add("--train_dtype", type=str, default="float32", choices=["float32", "bfloat16"], help="training compute dtype (train/train_step.py): bfloat16 casts the forward/backward inside the loss while master weights, grads, optimizer state, BN running stats, and the CE reduction stay f32 — no loss scaling needed (bf16 keeps f32's exponent range). f32 is the default and the parity dtype; matmuls already take the bf16 MXU pass under jax default precision, so bf16 buys the activation HBM stream (A/B: bench.py --train --bf16)")
     add("--dp", type=int, default=0, help="data-parallel mesh size; 0 = use all visible devices")
     add("--mp", type=int, default=1, help="eval-phase tensor parallelism: shard the decoder's vocab-sized params (output projection, embedding) over this many devices per dp shard (mesh = dp x mp; vocab_size must divide mp). Training stays dp-only (SURVEY.md §2.4)")
     add("--multihost", type=str, default="", help="join a multi-host run: 'coordinator_host:port,num_processes,process_id' (same on every host except the id), or 'auto' for TPU-pod bootstrap; dp then spans all hosts' devices (parallel/multihost.py)")

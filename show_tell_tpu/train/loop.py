@@ -110,7 +110,13 @@ def train(
             jax.process_index(), jax.process_count(),
             "primary - owns checkpoints/logs" if primary else "worker"))
 
-    step = make_train_step(cfg, optimizer, augment=True)
+    train_dtype = None
+    if str(params.get("train_dtype", "float32")) == "bfloat16":
+        import jax.numpy as jnp
+
+        train_dtype = jnp.bfloat16
+        print("Training compute dtype: bfloat16 (f32 master weights/optimizer).")
+    step = make_train_step(cfg, optimizer, augment=True, compute_dtype=train_dtype)
 
     os.makedirs(params["output_dir"], exist_ok=True)
     from show_tell_tpu.utils import MetricsLogger, StepTimer

@@ -45,11 +45,35 @@ def create_train_state(
     return TrainState(trainable, frozen, bn_state, opt_state, k_rng, jnp.int32(0))
 
 
-def make_train_step(cfg: CaptionerConfig, optimizer: optax.GradientTransformation, augment: bool = True):
-    """Returns jitted step(ts, images_u8, captions, lengths) -> (ts, loss)."""
+def make_train_step(
+    cfg: CaptionerConfig,
+    optimizer: optax.GradientTransformation,
+    augment: bool = True,
+    compute_dtype=None,
+):
+    """Returns jitted step(ts, images_u8, captions, lengths) -> (ts, loss).
+
+    compute_dtype (`--train_dtype bfloat16`): mixed-precision training in
+    the TPU-idiomatic form — master weights, gradients, and the optimizer
+    stay f32 (the cast sits INSIDE loss_fn, so the backward pass upcasts
+    cotangents on the way out), while the forward/backward compute runs
+    in bf16.  No loss scaling: bf16 keeps f32's exponent range.  The
+    loss-critical reductions stay f32 regardless (vocab projection uses
+    preferred_element_type=f32; CE/logsumexp runs on those f32 logits),
+    and BN running stats stay f32 (the pooled head's BN input is the f32
+    projection output).  f32 is the default and the parity dtype —
+    matmuls already take the bf16 MXU pass under jax default precision,
+    so what bf16 buys is the activation/weight HBM stream, not FLOPs;
+    see bench.py --train --bf16 for the measured A/B."""
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else None
 
     def loss_fn(trainable, frozen, bn_state, images, captions, lengths):
         params = merge_params(trainable, frozen)
+        if cd is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params
+            )
+            images = images.astype(cd)
         return captioner_loss(params, bn_state, cfg, images, captions, lengths, training=True)
 
     # Note: no donate_argnums — donation of the TrainState measured

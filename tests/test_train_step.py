@@ -187,3 +187,34 @@ def test_tp_dp_hybrid_step_matches_single_device(variant):
         ts_a.trainable,
         ts_b.trainable,
     )
+
+
+def test_bf16_train_step_mixed_precision():
+    """--train_dtype bfloat16 (train_step.make_train_step compute_dtype):
+    bf16 forward/backward with f32 master weights — loss decreases, the
+    TrainState stays f32 end-to-end (weights, optimizer, BN running
+    stats), and the loss tracks the f32 step closely at identical
+    inputs (same exponent range, no loss scaling)."""
+    opt = make_optimizer("Adam", 1e-2)
+    ts16 = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    ts32 = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step16 = make_train_step(CFG, opt, augment=False, compute_dtype=jnp.bfloat16)
+    step32 = make_train_step(CFG, opt, augment=False)
+    rng = np.random.RandomState(1)
+    images, captions, lengths = make_batch(rng, img=64)
+    losses16, losses32 = [], []
+    for _ in range(12):
+        ts16, l16 = step16(ts16, images, captions, lengths)
+        ts32, l32 = step32(ts32, images, captions, lengths)
+        losses16.append(float(l16))
+        losses32.append(float(l32))
+    assert np.isfinite(losses16).all()
+    assert losses16[-1] < losses16[0] * 0.8, losses16
+    # master state stays f32: every float leaf of weights/opt/BN
+    for leaf in jax.tree.leaves((ts16.trainable, ts16.frozen, ts16.bn_state, ts16.opt_state)):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+    # the bf16 loss trajectory tracks f32 (rounding-level divergence
+    # compounds over steps; first-step losses must agree tightly)
+    assert abs(losses16[0] - losses32[0]) < 0.05 * abs(losses32[0]) + 0.05, (
+        losses16[0], losses32[0])
