@@ -168,6 +168,33 @@ def main():
     agreed_one = bool(multihost_utils.process_allgather(np.asarray(pid == 0)).any())
     agreed_none = bool(multihost_utils.process_allgather(np.asarray(False)).any())
 
+    # Orbax fallback under multi-host (checkpoint.py): ckpt_format=orbax
+    # must fall back to the process-0 pickle save (orbax's distributed
+    # protocol would deadlock on a one-process save), and EVERY process
+    # must then be able to resume from the shared file — checked over the
+    # real N-process runtime, not a monkeypatched process_count.
+    import os
+
+    from show_tell_tpu.train.checkpoint import (
+        create_checkpoint,
+        load_checkpoint,
+        restore_train_state,
+    )
+
+    ckpt_dir = sys.argv[3]
+    ckpt_path = os.path.join(ckpt_dir, "model_1.ckpt")
+    if is_primary():  # the train loop's contract: only process 0 saves
+        saved = create_checkpoint(ts, 1, 3, [1.0], {"output_dir": ckpt_dir, "ckpt_format": "orbax"})
+        assert saved == ckpt_path, saved  # pickle fallback, NOT model_1.orbax/
+    multihost_utils.sync_global_devices("ckpt_saved")
+    restored = restore_train_state(ts0, load_checkpoint(ckpt_path))
+    ckpt_checksum = float(
+        sum(float(jnp.sum(jnp.abs(x.astype(jnp.float32)))) for x in jax.tree.leaves(restored.trainable))
+    )
+    orbax_fallback_ok = (not os.path.isdir(os.path.join(ckpt_dir, "model_1.orbax"))) and (
+        abs(ckpt_checksum - checksum) < 1e-4 * abs(checksum)
+    )
+
     # Sharded EVAL over the same 2-process runtime: the eval mesh spans
     # both hosts, decode dp-shards, ids all-gather back on device, every
     # host scores the identical full captions, only the primary writes
@@ -203,6 +230,7 @@ def main():
             {"pid": pid, "primary": is_primary(), "losses": losses,
              "checksum": checksum, "losses_local": losses_local,
              "preempt_agreed_one": agreed_one, "preempt_agreed_none": agreed_none,
+             "orbax_fallback_ok": orbax_fallback_ok,
              "eval_scores": scores, "eval_batches_scored": n_scored}
         ),
         flush=True,

@@ -121,6 +121,11 @@ def _assert_multihost_results(tmp_path, results, eval_dir, ref_losses, ref_check
     for r in results.values():
         assert r["preempt_agreed_one"] is True
         assert r["preempt_agreed_none"] is False
+    # orbax fallback (checkpoint.py:58): ckpt_format=orbax under
+    # multi-host saves the process-0 pickle (no model_1.orbax/ dir) and
+    # every process resumes the identical state from the shared file
+    for r in results.values():
+        assert r["orbax_fallback_ok"] is True
 
     # ---- multi-host sharded EVAL (VERDICT r3 ask 5): the N-process
     # test_model run must produce the single-process score dict.  Decoded
@@ -205,3 +210,90 @@ def test_make_mesh_rejects_uneven_and_oversized_meshes(monkeypatch):
     monkeypatch.undo()
     with pytest.raises(ValueError, match="devices"):
         make_mesh(dp=len(jax.devices()) + 1, mp=1)
+
+
+def test_shard_train_state_multihost_mp_guard(monkeypatch):
+    """parallel/mesh.py's multi-host mp scope guard: tensor parallelism
+    is single-host only (mp traffic is per-decode-step and belongs on
+    ICI; dp is the only axis that should cross DCN — SURVEY §2.4).  The
+    error surface is part of the contract: pin its type and message."""
+    from show_tell_tpu.models.captioner import CaptionerConfig
+    from show_tell_tpu.parallel.mesh import make_mesh, shard_train_state
+    from show_tell_tpu.train.optim import make_optimizer
+    from show_tell_tpu.train.train_step import create_train_state
+
+    cfg = CaptionerConfig(
+        variant="gru", resnet_version=18, embed_dim=24, hidden_dim=32,
+        vocab_size=40, num_layers=2,
+    )
+    ts = create_train_state(jax.random.PRNGKey(0), cfg, make_optimizer("SGD", 0.01, 0.9))
+    mesh = make_mesh(dp=4, mp=2)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(NotImplementedError, match="tensor parallelism .*single-host only"):
+        shard_train_state(mesh, ts, tensor_parallel=True)
+    monkeypatch.undo()
+    # single-host: the same call succeeds
+    shard_train_state(mesh, ts, tensor_parallel=True)
+
+
+def test_cli_uneven_multihost_mesh_fails_fast(tmp_path):
+    """CLI-level negative over REAL processes: two hosts joining with
+    UNEVEN device counts (5 + 3 virtual) must fail fast in make_mesh
+    with the clear uneven-coverage message — on every process — instead
+    of one process dying obscurely in put_sharded while the other hangs
+    in its first collective."""
+    import sys as _sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import build_mini_coco
+
+    data_dir = str(tmp_path / "data")
+    build_mini_coco(data_dir)
+    port = _free_port()
+    script = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from show_tell_tpu.cli.run import run
+pid = sys.argv[1]
+try:
+    run("gru", argv=[
+        "--data_dir", sys.argv[2], "--output_dir", sys.argv[3],
+        "--train_ann_path", "annotations/captions_train2014.json",
+        "--test_ann_path", "annotations/captions_train2014.json",
+        "--train_img_dir", "train2014", "--test_img_dir", "train2014",
+        "--vocab_threshold", "1", "--embedding_length", "8",
+        "--num_hidden_units", "12", "--num_layers", "1", "--batch_size", "8",
+        "--num_epochs", "1", "--resnet_version", "18", "--is_training", "1",
+        "--is_testing", "0", "--device", "cpu",
+        "--multihost", "127.0.0.1:%s,2,%s" % (sys.argv[4], pid),
+    ])
+except ValueError as e:
+    print("GOT_ERROR:", e)
+    sys.exit(42)
+sys.exit(0)
+"""
+    procs = []
+    for pid, ndev in ((0, 5), (1, 3)):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%d" % ndev
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.pathsep.join(
+            [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+            + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+        )
+        out_dir = str(tmp_path / ("out%d" % pid))
+        os.makedirs(out_dir, exist_ok=True)
+        procs.append(subprocess.Popen(
+            [_sys.executable, "-c", script, str(pid), data_dir, out_dir, str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        ))
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("uneven-mesh CLI subprocess hung instead of failing fast")
+        assert p.returncode == 42, out
+        assert "covers processes unevenly" in out, out
