@@ -715,6 +715,16 @@ def bench_eval(batch: int = 256, n_images: int = 2048):
             dt_serial = time.perf_counter() - t0
         finally:
             tester.PIPELINE_SCORING = True
+        # A/B the H2D staging: same flow with each batch transferred when
+        # consumed instead of one batch ahead (device_prefetch
+        # stage_ahead=False — the reference's serial H2D order).
+        tester.STAGE_H2D = False
+        try:
+            t0 = time.perf_counter()
+            test_model(ts, cfg, loader, vocab, params)
+            dt_unstaged = time.perf_counter() - t0
+        finally:
+            tester.STAGE_H2D = True
     loader.close()
     shutil.rmtree(root)
 
@@ -730,6 +740,8 @@ def bench_eval(batch: int = 256, n_images: int = 2048):
                 "test_loss_finite": bool(np.isfinite(scores["test_loss"])),
                 "serial_captions_per_sec": round(n_images / dt_serial, 2),
                 "pipeline_speedup": round(dt_serial / dt, 3),
+                "unstaged_captions_per_sec": round(n_images / dt_unstaged, 2),
+                "h2d_staging_speedup": round(dt_unstaged / dt, 3),
             }
         )
     )

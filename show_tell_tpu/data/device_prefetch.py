@@ -20,6 +20,7 @@ def device_prefetch(
     put_indices: Tuple[int, ...] = (1, 2, 3),
     local_indices: Tuple[int, ...] = (),
     replicated_indices: Tuple[int, ...] = (),
+    stage_ahead: bool = True,
 ) -> Iterator:
     """Yields batches with elements at ``put_indices`` placed on device
     one step ahead.  Non-array elements (e.g. path tuples) pass through.
@@ -36,7 +37,12 @@ def device_prefetch(
 
     replicated_indices: elements always placed replicated on the mesh
     (the eval loop's captions/lengths — the host-side scoring reads them
-    back, and a replicated array is addressable on every process)."""
+    back, and a replicated array is addressable on every process).
+
+    stage_ahead=False disables the one-batch-ahead staging (each batch is
+    placed when consumed — the reference's serial H2D order); it exists
+    for the `bench.py --eval` staging A/B, same pattern as the tester's
+    PIPELINE_SCORING flag."""
     from show_tell_tpu.parallel.mesh import batch_sharding, put_sharded, replicated
 
     if not set(local_indices) <= set(put_indices):
@@ -85,6 +91,10 @@ def device_prefetch(
         return tuple(out)
 
     it = iter(batches)
+    if not stage_ahead:  # serial order: place each batch as consumed
+        for batch in it:
+            yield put(batch)
+        return
     try:
         pending = put(next(it))
     except StopIteration:

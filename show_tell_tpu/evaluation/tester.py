@@ -47,6 +47,12 @@ from show_tell_tpu.ops import vocab_projection_is_sharded
 # exists so `bench.py --eval` can A/B the overlap on real hardware.
 PIPELINE_SCORING = True
 
+# When False, the eval loop's H2D staging (device_prefetch's
+# one-batch-ahead placement) is disabled and each batch transfers when
+# consumed — the reference's serial order.  Output-identical either way;
+# exists so `bench.py --eval` can A/B the staging like PIPELINE_SCORING.
+STAGE_H2D = True
+
 
 def _combine_score_table(table: np.ndarray) -> np.ndarray:
     """Sum-combine a per-row score table across processes.  Each row is
@@ -408,7 +414,9 @@ def test_model(
     pending = None  # one in-flight batch: (idx, img_paths, captions, loss, ids)
     try:
         for idx, (img_paths, images, captions, lengths) in enumerate(
-            device_prefetch(data_loader, mesh=mesh, replicated_indices=(2, 3))
+            device_prefetch(
+                data_loader, mesh=mesh, replicated_indices=(2, 3), stage_ahead=STAGE_H2D
+            )
         ):
             if idx == sub_batch_size:
                 break

@@ -113,6 +113,14 @@ def test_device_prefetch():
         assert isinstance(b[1], jax.Array)
         assert int(np.asarray(b[1])[0, 0, 0, 0]) == i
     assert list(device_prefetch([])) == []
+    # stage_ahead=False (the bench.py --eval H2D-staging A/B): identical
+    # batches in identical order, just placed when consumed
+    serial = list(device_prefetch(batches, stage_ahead=False))
+    assert len(serial) == 4
+    for a, b in zip(out, serial):
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert list(device_prefetch([], stage_ahead=False)) == []
 
 
 def test_device_prefetch_local_rows_divide_globally(monkeypatch):
