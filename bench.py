@@ -140,14 +140,14 @@ def _device_watchdog(seconds: float = 1200.0):
     return t
 
 
-def _warmup(serve, batch: int, warmup: int = 12):
+def _warmup(serve, batch: int, warmup: int = 12, s2d: bool = False):
     """Compile + steady-state warmup (the first ~10 executions through
     the axon tunnel run slower than steady state)."""
     import jax
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(0)
-    warm = jnp.zeros((batch, 224, 224, 3), jnp.uint8)
+    warm = jnp.zeros((batch, 112, 112, 12) if s2d else (batch, 224, 224, 3), jnp.uint8)
     dog = _device_watchdog()
     for i in range(warmup):
         serve(warm, jax.random.fold_in(key, i)).block_until_ready()
@@ -156,24 +156,27 @@ def _warmup(serve, batch: int, warmup: int = 12):
     return key
 
 
-def _flagship_serve(batch: int, warmup: int = 12, variant: str = "gru"):
+def _flagship_serve(batch: int, warmup: int = 12, variant: str = "gru", s2d: bool = False):
     """Shared setup for the serving benches: flagship bf16 params and a
-    warmed-up jitted uint8->caption-ids greedy decode."""
+    warmed-up jitted uint8->caption-ids greedy decode.  s2d=True takes
+    host-emitted space-to-depth input ([B,112,112,12] uint8 — the
+    relayout-free stem path, ops/s2d_stem.py / VERDICT r4 item 4)."""
     import jax
     import jax.numpy as jnp
 
-    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.data.transforms import preprocess_images, preprocess_images_s2d
     from show_tell_tpu.models.captioner import captioner_greedy_decode
 
     cfg, params, state = _flagship_params(variant)
+    pre = preprocess_images_s2d if s2d else preprocess_images
 
     @jax.jit
     def serve(images_u8, key):
         return captioner_greedy_decode(
-            params, state, cfg, preprocess_images(images_u8, key, augment=False, dtype=jnp.bfloat16)
+            params, state, cfg, pre(images_u8, key, augment=False, dtype=jnp.bfloat16)
         )
 
-    key = _warmup(serve, batch, warmup)
+    key = _warmup(serve, batch, warmup, s2d=s2d)
     return cfg, serve, key
 
 
@@ -244,15 +247,20 @@ def bench_train(batch: int = 256, variant: str = "gru", bf16: bool = False):
     )
 
 
-def main(variant: str = "gru", batch_default: int = 512):
+def main(variant: str = "gru", batch_default: int = 512, s2d: bool = False):
     import jax
     import jax.numpy as jnp
 
     batch_args = [a for a in sys.argv[1:] if a.isdigit()]
     batch = int(batch_args[0]) if batch_args else batch_default
-    cfg, serve, key = _flagship_serve(batch, variant=variant)
+    cfg, serve, key = _flagship_serve(batch, variant=variant, s2d=s2d)
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
+    raw = rng.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8)
+    if s2d:
+        from show_tell_tpu.data.transforms import host_space_to_depth
+
+        raw = host_space_to_depth(raw)  # the host pipeline emits this layout
+    images = jnp.asarray(raw)
 
     dt_iter, dt_median = _best_time(serve, [(images, jax.random.fold_in(key, i)) for i in range(25)])
 
@@ -260,6 +268,8 @@ def main(variant: str = "gru", batch_default: int = 512):
     metric = "captions_per_sec_per_chip_greedy"
     if variant != "gru":
         metric += "_" + variant
+    if s2d:
+        metric += "_s2d"
     # Analytic-FLOPs MFU vs the v5e bf16 peak (197 TFLOP/s).  Encoder:
     # ResNet-101@224 = 7.80 GMACs/image (torchvision-reported madds).
     # Decoder step: 5-layer GRU-512 (layer0 in-dim 256) + vocab proj.
@@ -816,6 +826,162 @@ def bench_train_e2e(batch: int = 128, n_images: int = 1024):
     )
 
 
+def _trained_checkpoint(epochs: int = 10, images: int = 400, root: str = "/tmp/bench_trained"):
+    """Train (once; cached on disk) a flagship-dims checkpoint on the
+    synthetic grounded dataset (tools/demo_synthetic.py's task):
+    ResNet-101 + 5-layer GRU-512, Adam, `epochs` epochs.  Returns
+    (ckpt_path, vocab_path, img_dir).  The ONE delta vs the headline
+    config is the vocab (~30 task words instead of 9,956) — flagged in
+    every emitted row; decode cost scales with V, so trained rows are
+    about RETIREMENT behavior, not absolute cap/s parity with the
+    headline."""
+    import os
+    import subprocess
+
+    ckpt = os.path.join(root, "out", "model_%d.ckpt" % epochs)
+    vocab = os.path.join(root, "out", "vocab.pkl")
+    img_dir = os.path.join(root, "data", "train2014")
+    if os.path.isfile(ckpt) and os.path.isfile(vocab):
+        return ckpt, vocab, img_dir
+    # Train in a SUBPROCESS so the measuring process stays compile-fresh.
+    code = """
+import sys
+sys.path.insert(0, %r)
+sys.path.insert(0, %r)
+from demo_synthetic import build_dataset
+import os
+root = %r
+build_dataset(os.path.join(root, "data"), %d)
+os.makedirs(os.path.join(root, "out"), exist_ok=True)
+from show_tell_tpu.cli.run import run
+run("gru", [
+    "--data_dir", os.path.join(root, "data"), "--output_dir", os.path.join(root, "out"),
+    "--train_ann_path", "annotations/captions_train2014.json",
+    "--test_ann_path", "annotations/captions_train2014.json",
+    "--train_img_dir", "train2014", "--test_img_dir", "train2014",
+    "--vocab_threshold", "1", "--embedding_length", "256",
+    "--num_hidden_units", "512", "--num_layers", "5",
+    "--batch_size", "32", "--num_epochs", "%d", "--resnet_version", "101",
+    "--lr", "0.002", "--optimizer_type", "Adam",
+    "--is_training", "1", "--is_testing", "0", "--keep_checkpoints", "1",
+])
+""" % (
+        os.path.dirname(os.path.abspath(__file__)),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"),
+        root, images, epochs,
+    )
+    print(json.dumps({"note": "training the synthetic flagship checkpoint (one-time, cached)"}),
+          file=sys.stderr, flush=True)
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=3600)
+    assert os.path.isfile(ckpt), ckpt
+    return ckpt, vocab, img_dir
+
+
+def bench_trained(epochs: int = 10):
+    """`python bench.py --trained`: the serving/latency surface on
+    TRAINED weights (VERDICT r4 item 2) — a 10-epoch flagship-dims
+    checkpoint on the synthetic grounded task, measured with its real
+    <end>-retirement behavior on in-distribution images:
+
+      * retirement profile (mean / p90 / max caption length over 512
+        decoded in-distribution images)
+      * B=512 greedy throughput, early-exit off vs on
+      * p50 latency grid: greedy / beam-3 x B=1 / B=8, early-exit
+        off/on (the trained analogue of --latency_suite's untrained
+        worst/best-case rows)
+
+    Rows carry vocab_size so the ~30-word task vocab (vs the 9,956
+    headline) is explicit; retirement-driven DELTAS (ee on/off at equal
+    weights) are the point of this mode."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from show_tell_tpu.data.transforms import preprocess_images
+    from show_tell_tpu.decode.beam import beam_search_decode
+    from show_tell_tpu.models.captioner import captioner_greedy_decode
+    from show_tell_tpu.models.encoder import encoder_forward
+    from show_tell_tpu.serve import Captioner
+
+    ckpt, vocab_path, _ = _trained_checkpoint(epochs=epochs)
+    cap = Captioner.from_checkpoint(ckpt, vocab_path, resnet_version=101,
+                                    embed_dim=256, hidden_dim=512, num_layers=5)
+    cfg, params, state = cap.cfg, cap.params, cap.bn_state
+    end_id = cap.vocab.word_to_index.get("<end>", 2)
+
+    # in-distribution images (the demo's generator, unseen seed)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import random as _random
+
+    from demo_synthetic import draw_sample
+
+    rng = _random.Random(12345)
+    imgs = np.stack([np.asarray(draw_sample(rng)[0], dtype=np.uint8) for _ in range(512)])
+
+    rows = []
+
+    def emit(metric, value, unit, extra=None):
+        row = {"metric": metric, "value": value, "unit": unit,
+               "vs_baseline": round(value / 1250.0, 3) if "cap" in unit else 0,
+               "vocab_size": cfg.vocab_size, "trained_epochs": epochs}
+        row.update(extra or {})
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # retirement profile from one greedy decode (no early exit)
+    @jax.jit
+    def decode512(images_u8, key, ee=None):
+        x = preprocess_images(images_u8, key, augment=False, dtype=jnp.bfloat16)
+        return captioner_greedy_decode(params, state, cfg, x, end_token=ee)
+
+    key = jax.random.PRNGKey(0)
+    dog = _device_watchdog()
+    ids = np.asarray(decode512(jnp.asarray(imgs), key))
+    dog.cancel()
+    T = cfg.max_caption_length
+    first_end = np.where((ids == end_id).any(1), (ids == end_id).argmax(1) + 1, T)
+    emit("trained_retirement_steps_mean", round(float(first_end.mean()), 2), "steps (of %d)" % T,
+         {"p90": int(np.percentile(first_end, 90)), "max": int(first_end.max())})
+
+    # B=512 throughput, ee off/on
+    for ee in (None, end_id):
+        f = jax.jit(lambda u, k, ee=ee: decode512(u, k, ee))
+        for i in range(12):
+            f(jnp.asarray(imgs), jax.random.fold_in(key, i)).block_until_ready()
+        dt, dt_med = _best_time(f, [(jnp.asarray(imgs), jax.random.fold_in(key, 100 + i)) for i in range(25)])
+        emit("trained_captions_per_sec_b512_ee%d" % (ee is not None), round(512 / dt, 2),
+             "captions/s/chip", {"estimator": "min_of_7x5", "median_value": round(512 / dt_med, 2)})
+
+    # latency grid on trained weights
+    nrng = np.random.RandomState(0)
+    for batch in (1, 8):
+        sel = imgs[nrng.choice(len(imgs), batch, replace=False)]
+        for mode in ("greedy", "beam3"):
+            for ee in (0, 1):
+
+                @jax.jit
+                def serve(images_u8, k, mode=mode, ee=ee):
+                    x = preprocess_images(images_u8, k, augment=False, dtype=jnp.bfloat16)
+                    if mode == "greedy":
+                        return captioner_greedy_decode(
+                            params, state, cfg, x, end_token=end_id if ee else None)
+                    feats, _ = encoder_forward(params["encoder"], state, cfg.encoder_config(), x, training=False)
+                    return beam_search_decode(params["decoder"], cfg.decoder_config(), feats, 3,
+                                              end_token=end_id, early_exit=bool(ee))
+
+                for i in range(15):
+                    serve(jnp.asarray(sel), jax.random.fold_in(key, 200 + i)).block_until_ready()
+                lats = []
+                for i in range(30):
+                    t0 = time.perf_counter()
+                    serve(jnp.asarray(sel), jax.random.fold_in(key, 300 + i)).block_until_ready()
+                    lats.append(time.perf_counter() - t0)
+                p50 = sorted(lats)[len(lats) // 2]
+                emit("trained_p50_latency_ms_%s_b%d_ee%d" % (mode, batch, ee),
+                     round(p50 * 1e3, 2), "ms", {"ms_per_image": round(p50 / batch * 1e3, 3)})
+
+
 def bench_grid(out_path: str = "BENCH_GRID.json"):
     """`python bench.py --grid [OUT.json]`: the consolidated per-round
     bench artifact (VERDICT r4 item 5) — every tracked serving / decode
@@ -889,6 +1055,9 @@ if __name__ == "__main__":
     if "--grid" in sys.argv:
         args = [a for a in sys.argv[1:] if a.endswith(".json")]
         bench_grid(args[0] if args else "BENCH_GRID.json")
+    elif "--trained" in sys.argv:
+        args = [a for a in sys.argv[1:] if a.isdigit()]
+        bench_trained(int(args[0]) if args else 10)
     elif "--train_e2e" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--train_e2e"]
         bench_train_e2e(int(args[0]) if args else 128)
@@ -924,6 +1093,10 @@ if __name__ == "__main__":
             int(args[1]) if len(args) > 1 else 256,
             variant=variant,
         )
+    elif "--s2d" in sys.argv:
+        # Headline A/B with host-emitted space-to-depth input (the
+        # relayout-free stem; VERDICT r4 item 4).
+        main(s2d=True)
     elif "--attn" in sys.argv:
         # Soft-attention GRU serving throughput (main_attn.py flagship).
         main(variant="attn", batch_default=256)

@@ -143,7 +143,15 @@ def _forward_impl(version: int, x: jax.Array, unit):
     padding)`` applies conv (+BN or folded bias)."""
     block, stages = RESNET_SPECS[version]
 
-    y = unit("conv1", "bn1", x, 2, [(3, 3), (3, 3)])
+    if x.shape[-1] == 12:
+        # s2d-layout input (emitted by the host pipeline,
+        # data/transforms.preprocess_images_s2d): conv1 runs as the
+        # exactly-equivalent 4x4/s1 conv on [B,112,112,12]
+        # (ops/s2d_stem.py derivation).  unit() resolves the
+        # weight transform by name.
+        y = unit("conv1", "bn1", x, 1, [(2, 1), (2, 1)])
+    else:
+        y = unit("conv1", "bn1", x, 2, [(3, 3), (3, 3)])
     y = jax.nn.relu(y)
     y = _max_pool_3x3s2(y)
 
@@ -181,7 +189,12 @@ def resnet_forward(
     updates: Dict[str, jax.Array] = {}
 
     def unit(conv_name, bn_name, h, stride, padding):
-        h = _conv(h, params[conv_name + ".weight"], stride, padding)
+        w = params[conv_name + ".weight"]
+        if conv_name == "conv1" and h.shape[-1] == 12 and w.shape[2] == 3:
+            from show_tell_tpu.ops.s2d_stem import transform_conv1_weight
+
+            w = transform_conv1_weight(w)  # constant-folded under jit
+        h = _conv(h, w, stride, padding)
         return _bn(params, state, updates, bn_name, h, training)
 
     y = _forward_impl(version, x, unit)

@@ -13,8 +13,8 @@ SRC = os.path.join(os.path.dirname(__file__), "fastimage.cpp")
 # ABI-versioned filename: dlopen caches by path, so re-dlopening a path
 # that was already loaded returns the OLD handle even after the file is
 # rewritten — a new ABI must live at a new path (v2 = fast_scale entry
-# points).  Bump the suffix whenever the C ABI changes.
-LIB = os.path.join(os.path.dirname(__file__), "libfastimage_v2.so")
+# points; v3 = s2d output mode).  Bump the suffix whenever the C ABI changes.
+LIB = os.path.join(os.path.dirname(__file__), "libfastimage_v3.so")
 
 
 def build(verbose: bool = True) -> bool:

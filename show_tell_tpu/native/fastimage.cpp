@@ -229,4 +229,58 @@ int st_decode_resize_batch(const uint8_t** bufs, const size_t* lens, int n,
                            int n_threads) {
   return st_decode_resize_batch2(bufs, lens, n, out_h, out_w, out, statuses, n_threads, 0);
 }
+
+// Space-to-depth relayout: [h, w, 3] RGB8 -> [h/2, w/2, 12] with the
+// (di, dj, c) channel order of ops/s2d_stem.py.  Emitting this layout at
+// decode time lets the TPU stem run its 4x4/s1 equivalent conv without
+// any device-side relayout (the transform that made the on-device s2d
+// stem a measured negative).  Pure byte regroup — each output row gathers
+// two input rows; memory-bound, negligible next to the JPEG decode.
+void st_s2d_relayout(const uint8_t* in, int h, int w, uint8_t* out) {
+  const int h2 = h / 2, w2 = w / 2;
+  for (int i = 0; i < h2; ++i) {
+    const uint8_t* r0 = in + size_t(2 * i) * w * 3;
+    const uint8_t* r1 = r0 + size_t(w) * 3;
+    uint8_t* o = out + size_t(i) * w2 * 12;
+    for (int j = 0; j < w2; ++j) {
+      const uint8_t* p00 = r0 + size_t(2 * j) * 3;  // di=0, dj=0
+      uint8_t* q = o + size_t(j) * 12;
+      // (di, dj, c): [p00, p01, p10, p11] each RGB
+      q[0] = p00[0]; q[1] = p00[1]; q[2] = p00[2];
+      q[3] = p00[3]; q[4] = p00[4]; q[5] = p00[5];
+      q[6] = r1[size_t(2 * j) * 3 + 0]; q[7] = r1[size_t(2 * j) * 3 + 1];
+      q[8] = r1[size_t(2 * j) * 3 + 2];
+      q[9] = r1[size_t(2 * j) * 3 + 3]; q[10] = r1[size_t(2 * j) * 3 + 4];
+      q[11] = r1[size_t(2 * j) * 3 + 5];
+    }
+  }
+}
+
+// Batched decode+resize with optional s2d output layout (s2d != 0:
+// out rows are out_h/2 * out_w/2 * 12 bytes each — same byte count).
+int st_decode_resize_batch3(const uint8_t** bufs, const size_t* lens, int n,
+                            int out_h, int out_w, uint8_t* out, int* statuses,
+                            int n_threads, int fast_scale, int s2d) {
+  if (!s2d)
+    return st_decode_resize_batch2(bufs, lens, n, out_h, out_w, out, statuses,
+                                   n_threads, fast_scale);
+  if (n_threads < 1) n_threads = 1;
+  const size_t stride = size_t(out_h) * out_w * 3;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) {
+    threads.emplace_back([&, t]() {
+      std::vector<uint8_t> tmp(stride);
+      for (int i = t; i < n; i += n_threads) {
+        statuses[i] =
+            st_decode_resize2(bufs[i], lens[i], out_h, out_w, tmp.data(), fast_scale);
+        if (statuses[i] == 0)
+          st_s2d_relayout(tmp.data(), out_h, out_w, out + stride * i);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  int failures = 0;
+  for (int i = 0; i < n; ++i) failures += (statuses[i] != 0);
+  return failures;
+}
 }

@@ -62,6 +62,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.st_decode_resize_batch3.restype = ctypes.c_int
+        lib.st_decode_resize_batch3.argtypes = (
+            lib.st_decode_resize_batch2.argtypes + [ctypes.c_int]
+        )
+        lib.st_s2d_relayout.restype = None
+        lib.st_s2d_relayout.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -102,19 +113,26 @@ def decode_resize_batch(
     out_w: int,
     n_threads: int = 0,
     fast_scale: bool = False,
+    s2d: bool = False,
 ) -> Tuple[np.ndarray, List[int]]:
-    """Threaded batch decode. Returns (uint8 [N, H, W, 3], statuses)."""
+    """Threaded batch decode. Returns (uint8 [N, H, W, 3], statuses).
+
+    ``s2d`` emits the space-to-depth serving layout instead —
+    [N, H/2, W/2, 12] with the (di, dj, c) channel order of
+    ops/s2d_stem.py (same bytes; the TPU stem then needs no device-side
+    relayout — data/transforms.preprocess_images_s2d)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("libfastimage unavailable (build failed?)")
     n = len(jpeg_buffers)
-    out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    shape = (n, out_h // 2, out_w // 2, 12) if s2d else (n, out_h, out_w, 3)
+    out = np.empty(shape, dtype=np.uint8)
     statuses = (ctypes.c_int * n)()
     bufs = (ctypes.c_char_p * n)(*jpeg_buffers)
     lens = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
     if n_threads <= 0:
         n_threads = min(max(os.cpu_count() or 1, 1), max(n, 1))
-    lib.st_decode_resize_batch2(
+    lib.st_decode_resize_batch3(
         bufs,
         lens,
         n,
@@ -124,5 +142,23 @@ def decode_resize_batch(
         statuses,
         n_threads,
         1 if fast_scale else 0,
+        1 if s2d else 0,
     )
     return out, list(statuses)
+
+
+def s2d_relayout(rgb: np.ndarray) -> np.ndarray:
+    """uint8 [H, W, 3] -> [H/2, W/2, 12] via the native relayout."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libfastimage unavailable (build failed?)")
+    h, w, _ = rgb.shape
+    rgb = np.ascontiguousarray(rgb)
+    out = np.empty((h // 2, w // 2, 12), dtype=np.uint8)
+    lib.st_s2d_relayout(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out

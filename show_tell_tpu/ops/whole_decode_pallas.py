@@ -62,8 +62,8 @@ from show_tell_tpu.ops.vocab_pallas import VOCAB_BLOCK, _pad_rows, _pick_block_b
 
 def _whole_gru_kernel(
     feat_ref, emb_ref, w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref, wv_ref, bv_ref,
-    tok_out_ref, hs, x_buf, best_val, best_idx, best_emb,
-    *, L, n_blocks, block_v, E,
+    tok_out_ref, hs, x_buf, best_val, best_idx, best_emb, toks,
+    *, L, n_blocks, block_v, E, T,
 ):
     t = pl.program_id(1)
     j = pl.program_id(2)
@@ -115,7 +115,16 @@ def _whole_gru_kernel(
 
     @pl.when(j == L + n_blocks - 1)
     def _():
-        tok_out_ref[...] = best_idx[...]
+        # Mosaic's output-block constraint (last dim 128-divisible or
+        # full) rules out a [block_b, 1] per-step block: accumulate the
+        # step's winner into a [block_b, T] scratch column instead and
+        # flush the whole block once after the last step.
+        col = jax.lax.broadcasted_iota(jnp.int32, toks.shape, 1)
+        toks[...] = jnp.where(col == t, best_idx[...], toks[...])
+
+    @pl.when((t == T - 1) & (j == L + n_blocks - 1))
+    def _():
+        tok_out_ref[...] = toks[...]
 
 
 def _whole_gru_raw(feat, emb, w_ih, w_hh, b_ih, b_hh, wv, bv, *, T, block_v, interpret):
@@ -139,7 +148,7 @@ def _whole_gru_raw(feat, emb, w_ih, w_hh, b_ih, b_hh, wv, bv, *, T, block_v, int
     vcb = lambda bb, t, j: (0, jnp.clip(j - L, 0, n_blocks - 1))
 
     toks = pl.pallas_call(
-        functools.partial(_whole_gru_kernel, L=L, n_blocks=n_blocks, block_v=block_v, E=E),
+        functools.partial(_whole_gru_kernel, L=L, n_blocks=n_blocks, block_v=block_v, E=E, T=T),
         out_shape=jax.ShapeDtypeStruct((B, T), jnp.int32),
         grid=(B // block_b, T, L + n_blocks),
         in_specs=[
@@ -152,13 +161,14 @@ def _whole_gru_raw(feat, emb, w_ih, w_hh, b_ih, b_hh, wv, bv, *, T, block_v, int
             pl.BlockSpec((H, block_v), vcb, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_v), vcb, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, 1), lambda bb, t, j: (bb, t), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_b, T), lambda bb, t, j: (bb, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((w_ih.shape[0], block_b, H), feat.dtype),  # hs, VMEM-resident all T steps
             pltpu.VMEM((block_b, H), feat.dtype),  # x_buf
             pltpu.VMEM((block_b, 1), jnp.float32),  # best_val
             pltpu.VMEM((block_b, 1), jnp.int32),  # best_idx
             pltpu.VMEM((block_b, E), jnp.float32),  # best_emb
+            pltpu.VMEM((block_b, T), jnp.int32),  # toks, flushed once at the end
         ],
         interpret=interpret,
     )(feat, emb, w_ih, w_hh, b_ih, b_hh, wv, bv)

@@ -296,3 +296,34 @@ class TestFastMetrics:
         # exotic tokens fall back
         assert fastmetrics.corpus_bleu4_sums([["a b"]], [["a"]], weights) is None
         assert fastmetrics.corpus_bleu4_sums([["a", ""]], [["a"]], weights) is None
+
+
+def test_native_s2d_output_mode():
+    """fastimage's s2d output mode (VERDICT r4 item 4): the batched
+    decode with s2d=1 equals the stock decode followed by the numpy
+    relayout byte-for-byte, and the standalone relayout entry agrees."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from show_tell_tpu.data.transforms import host_space_to_depth
+    from show_tell_tpu.native import fastimage
+
+    if not fastimage.is_available():
+        import pytest
+
+        pytest.skip("libfastimage unavailable")
+    rng = np.random.RandomState(5)
+    bufs = []
+    for i in range(3):
+        arr = rng.randint(0, 255, (120 + 8 * i, 160, 3), np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, format="JPEG", quality=90)
+        bufs.append(b.getvalue())
+    rgb, st = fastimage.decode_resize_batch(bufs, 64, 64)
+    s2d, st2 = fastimage.decode_resize_batch(bufs, 64, 64, s2d=True)
+    assert st == [0, 0, 0] and st2 == [0, 0, 0]
+    assert s2d.shape == (3, 32, 32, 12)
+    np.testing.assert_array_equal(s2d, host_space_to_depth(rgb))
+    np.testing.assert_array_equal(fastimage.s2d_relayout(rgb[0]), s2d[0])
