@@ -996,6 +996,7 @@ def bench_grid(out_path: str = "BENCH_GRID.json"):
 
     modes = [
         ("greedy_gru", []),
+        ("greedy_gru_s2d", ["--s2d"]),
         ("greedy_lstm", ["--lstm"]),
         ("greedy_attn", ["--attn"]),
         ("greedy_attn_lstm", ["--attn_lstm"]),
@@ -1007,10 +1008,15 @@ def bench_grid(out_path: str = "BENCH_GRID.json"):
         ("beam5_attn_lstm", ["--beam", "5", "--attn_lstm"]),
         ("latency_suite", ["--latency_suite"]),
         ("train", ["--train"]),
+        ("train_bf16", ["--train", "--bf16"]),
         ("train_attn", ["--train_attn"]),
         ("train_e2e", ["--train_e2e"]),
         ("eval", ["--eval"]),
         ("input", ["--input"]),
+        # trained-weights surface: reuses the cached /tmp checkpoint when
+        # `--trained` already ran this round; else trains one (slow, the
+        # longer timeout below).
+        ("trained", ["--trained"]),
     ]
     grid = []
     for name, args in modes:
@@ -1018,7 +1024,8 @@ def bench_grid(out_path: str = "BENCH_GRID.json"):
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, *args],
-                capture_output=True, text=True, timeout=2400,
+                capture_output=True, text=True,
+                timeout=4800 if name == "trained" else 2400,
             )
             rows = []
             for line in proc.stdout.splitlines():

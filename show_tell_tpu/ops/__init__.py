@@ -30,15 +30,24 @@ def pallas_whole_decode_default() -> bool:
     """Auto policy for the whole-decode kernel — ALL T greedy steps in
     ONE Mosaic invocation (ops/whole_decode_pallas.py: time axis in the
     grid, hidden states VMEM-resident across steps, embedding feedback
-    folded into the argmax merge).  ON for TPU backends: measured on
-    the T=200-amplified protocol (tools/tpu_smoke.py --bench,
-    `gru_greedy_whole_t200` row) it removes the per-step Mosaic launch,
-    the XLA embed gather, and the scan carry threading that made up the
-    fused per-step kernel's overhead residue; see smoke_bench.json for
-    the current round's A/B.  Fixed-T GRU greedy with an unsharded
-    vocab projection only — every other decode keeps the per-step
-    kernels (guards in rnn_pallas.greedy_decode_pallas)."""
-    return jax.default_backend() == "tpu"
+    folded into the argmax merge).  OFF, by measurement (round 5
+    on-chip A/B, tools/tpu_smoke.py --bench `gru_greedy_whole*` rows,
+    outputs bit-equal to the per-step kernel): 0.99x at T=25 / 0.96x at
+    T=200 at the B=512 serving shape, 0.82x at B=1.  Root cause: the
+    hypothesis behind the kernel — that the 25 per-step Mosaic
+    launches, XLA embed gathers, and scan carries were the measured
+    ~40 us/step residue over the analytic floor — is wrong.  Under jit
+    the per-step launches are XLA-internal dispatches (~cheap), while
+    the in-kernel embedding feedback makes the whole EMBEDDING TABLE
+    stream from HBM every step (5.1 MB, B-INDEPENDENT) in place of a
+    [L, B, H] hidden round-trip that scales with B: a wash at B=512
+    (5.2 MB) minus the extra one-hot MXU work, and a pure loss at
+    small B — exactly the latency regime the kernel targeted.  The
+    residue is Mosaic grid-step overhead (shared by both kernels), not
+    launch cost.  The kernel stays available (`whole_decode=True`,
+    bit-equal tested on-chip) and the smoke rows re-measure it each
+    round; see docs/ARCHITECTURE.md "Measured limits"."""
+    return False
 
 
 def pallas_beam_default() -> bool:

@@ -28,12 +28,23 @@ grid cells; the [block_e, E] embedding block streams alongside the
 [H, block_v] projection block it shares a grid cell with.
 
 Per-step HBM traffic vs the per-step kernel at B=512 bf16 flagship
-shapes: the 5.2 MB embedding stream REPLACES the 5.2 MB hidden-state
+shapes: the 5.1 MB embedding stream REPLACES the 5.2 MB hidden-state
 round-trip (hs/cs now live in VMEM scratch for the whole decode and
 never touch HBM), so bandwidth is a wash and the 25 kernel launches,
 25 XLA gathers, and the scan carry threading are pure savings.  The
 extra MXU work (B x Vpad x E one-hot MACs/step, ~14 us at B=512) rides
 the bandwidth-bound vocab stream.
+
+MEASURED OUTCOME (round 5, on-chip, bit-equal to the per-step kernel):
+a NEGATIVE — 0.99x at T=25 / 0.96x at T=200 at B=512, 0.82x at B=1
+(smoke_bench.json `gru_greedy_whole*`).  The analysis above holds at
+B=512 but misses that the embedding stream is B-INDEPENDENT while the
+hidden round-trip it replaces scales with B, so every batch below the
+flagship shape pays 5.1 MB/step for nothing — and even at B=512 the
+per-step launches turn out to be XLA-internal dispatches too cheap to
+buy back the one-hot MXU work.  Default OFF
+(ops.pallas_whole_decode_default); kept available and re-measured each
+round.  See docs/ARCHITECTURE.md "Measured limits".
 
 Semantics are the reference greedy loop (rnn.py:44-58): step-0 input is
 the image feature, feedback is embed(argmax), fixed T steps, no <end>

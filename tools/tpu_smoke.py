@@ -209,6 +209,9 @@ def bench_decode():
         return [jnp.asarray(rng.randn(*arr.shape).astype(np.float32)).astype(arr.dtype) for _ in range(k)]
 
     E, H, V, L = 256, 512, 9956, 5
+    # whole_decode=False pins these rows to the per-STEP fused kernel so
+    # they stay comparable round-over-round; the whole-decode kernel (a
+    # measured negative, default OFF) gets its own A/B rows below.
     print("Pooled greedy decode (fully fused step kernel), 25 steps, H=512 L=5 V=9956 bf16:")
     for cell, batches in (("gru", (256, 512)), ("lstm", (512,))):
         for B in batches:
@@ -216,7 +219,7 @@ def bench_decode():
             params = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
             feat_set = variants(jnp.zeros((B, E), bf))
             xla_fn = jax.jit(lambda f: greedy_decode(params, cfg, f))
-            pls_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False))
+            pls_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False, whole_decode=False))
             t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
             record(f"{cell}_greedy", B, t_x, t_p)
             print(f"  {cell} B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
@@ -231,10 +234,28 @@ def bench_decode():
         params = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
         feat_set = variants(jnp.zeros((B, E), bf))
         xla_fn = jax.jit(lambda f: greedy_decode(params, cfg, f))
-        pls_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False))
+        pls_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False, whole_decode=False))
         t_x, t_p = timeit(xla_fn, feat_set), timeit(pls_fn, feat_set)
         record("gru_greedy_t200", B, t_x, t_p)
         print(f"  B={B}: xla {t_x*1e3:6.2f} ms   pallas {t_p*1e3:6.2f} ms   ({t_x/t_p:.2f}x)")
+
+    # Whole-decode kernel (ops/whole_decode_pallas.py): ALL T steps in
+    # ONE Mosaic invocation.  Baseline column = the per-step fused
+    # kernel (the previous best), so 'speedup' reads whole-over-step.
+    # Both T=25 (serving shape) and T=200 (delta resolution) rows; the
+    # on-chip outputs are asserted bit-equal before timing.
+    print("GRU greedy decode, WHOLE-decode kernel vs per-step fused kernel:")
+    for T, tag in ((25, "gru_greedy_whole"), (200, "gru_greedy_whole_t200")):
+        B = 512
+        cfg = DecoderConfig("gru", E, H, V, L, max_caption_length=T)
+        params = jax.tree.map(lambda a: a.astype(bf), init_decoder_params(jax.random.PRNGKey(0), cfg))
+        feat_set = variants(jnp.zeros((B, E), bf))
+        step_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False, whole_decode=False))
+        whole_fn = jax.jit(lambda f: greedy_decode_pallas(params, cfg, f, interpret=False, whole_decode=True))
+        same = bool((step_fn(feat_set[0]) == whole_fn(feat_set[0])).all())
+        t_s, t_w = timeit(step_fn, feat_set), timeit(whole_fn, feat_set)
+        record(tag, B, t_s, t_w)
+        print(f"  T={T} B={B}: per-step {t_s*1e3:6.2f} ms   WHOLE {t_w*1e3:6.2f} ms   ({t_s/t_w:.2f}x)  bit-equal={same}")
 
     print("Attention GRU greedy decode, 25 steps, E=H=A=512 V=9956 bf16:")
     for B in (256,):
