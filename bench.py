@@ -918,6 +918,14 @@ def bench_trained(epochs: int = 10):
 
     rng = _random.Random(12345)
     imgs = np.stack([np.asarray(draw_sample(rng)[0], dtype=np.uint8) for _ in range(512)])
+    # DISTINCT device buffers per timed call: with augment=False the jit
+    # key is dead, so identical input buffers make every timed execution
+    # bit-identical — which this sandbox's tunnel dedupes into absurdly
+    # fast returns (CLAUDE.md; first observed here as a 28M cap/s "row").
+    # Distinct permutations of the same image set keep the measured work
+    # identical while making every buffer unique.
+    nrng = np.random.RandomState(7)
+    batches512 = [jnp.asarray(imgs[nrng.permutation(512)]) for _ in range(8)]
 
     rows = []
 
@@ -948,15 +956,17 @@ def bench_trained(epochs: int = 10):
     for ee in (None, end_id):
         f = jax.jit(lambda u, k, ee=ee: decode512(u, k, ee))
         for i in range(12):
-            f(jnp.asarray(imgs), jax.random.fold_in(key, i)).block_until_ready()
-        dt, dt_med = _best_time(f, [(jnp.asarray(imgs), jax.random.fold_in(key, 100 + i)) for i in range(25)])
+            f(batches512[i % len(batches512)], jax.random.fold_in(key, i)).block_until_ready()
+        dt, dt_med = _best_time(
+            f, [(batches512[i % len(batches512)], jax.random.fold_in(key, 100 + i)) for i in range(25)]
+        )
         emit("trained_captions_per_sec_b512_ee%d" % (ee is not None), round(512 / dt, 2),
              "captions/s/chip", {"estimator": "min_of_7x5", "median_value": round(512 / dt_med, 2)})
 
-    # latency grid on trained weights
-    nrng = np.random.RandomState(0)
+    # latency grid on trained weights — a distinct image subset per
+    # timed iteration (same dedupe hazard as above).
     for batch in (1, 8):
-        sel = imgs[nrng.choice(len(imgs), batch, replace=False)]
+        sels = [jnp.asarray(imgs[nrng.choice(len(imgs), batch, replace=False)]) for _ in range(45)]
         for mode in ("greedy", "beam3"):
             for ee in (0, 1):
 
@@ -971,11 +981,11 @@ def bench_trained(epochs: int = 10):
                                               end_token=end_id, early_exit=bool(ee))
 
                 for i in range(15):
-                    serve(jnp.asarray(sel), jax.random.fold_in(key, 200 + i)).block_until_ready()
+                    serve(sels[i], jax.random.fold_in(key, 200 + i)).block_until_ready()
                 lats = []
                 for i in range(30):
                     t0 = time.perf_counter()
-                    serve(jnp.asarray(sel), jax.random.fold_in(key, 300 + i)).block_until_ready()
+                    serve(sels[15 + i], jax.random.fold_in(key, 300 + i)).block_until_ready()
                     lats.append(time.perf_counter() - t0)
                 p50 = sorted(lats)[len(lats) // 2]
                 emit("trained_p50_latency_ms_%s_b%d_ee%d" % (mode, batch, ee),
