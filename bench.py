@@ -15,6 +15,7 @@ BASELINE.json; the reference itself publishes no throughput numbers).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -1028,8 +1029,34 @@ def bench_grid(out_path: str = "BENCH_GRID.json"):
         # longer timeout below).
         ("trained", ["--trained"]),
     ]
+    # Resume-from-partial: the tunnel can wedge for hours mid-grid
+    # (CLAUDE.md), so each completed mode is written to out_path
+    # IMMEDIATELY, and a re-run skips modes that already have good rows
+    # (error rows are retried).  Delete out_path for a from-scratch run.
+    done = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                done = {
+                    g["mode"]: g for g in json.load(f)["grid"]
+                    if "rows" in g
+                    and not any(r.get("metric") == "bench_error" for r in g["rows"])
+                }
+            print(json.dumps({"note": "resuming grid, %d modes cached" % len(done)}),
+                  file=sys.stderr, flush=True)
+        except Exception:
+            done = {}
     grid = []
+
+    def _flush():
+        with open(out_path, "w") as f:
+            json.dump({"grid": grid + [g for m, g in done.items()
+                                       if m not in {x["mode"] for x in grid}]}, f, indent=1)
+
     for name, args in modes:
+        if name in done:
+            grid.append(done[name])
+            continue
         t0 = time.perf_counter()
         try:
             proc = subprocess.run(
@@ -1053,8 +1080,8 @@ def bench_grid(out_path: str = "BENCH_GRID.json"):
         except Exception as e:  # one wedged mode must not kill the grid
             grid.append({"mode": name, "error": str(e)[:500], "wall_s": round(time.perf_counter() - t0, 1)})
         print(json.dumps(grid[-1]), file=sys.stderr, flush=True)
-    with open(out_path, "w") as f:
-        json.dump({"grid": grid}, f, indent=1)
+        _flush()
+    _flush()
     ok = sum(1 for g in grid if "rows" in g)
     print(
         json.dumps(
