@@ -44,6 +44,7 @@ class Captioner:
         dp: int = 1,
         mp: int = 1,
         early_exit: bool = False,
+        s2d: bool = False,
     ):
         """early_exit stops the decode loop (greedy AND beam) once every
         sequence/beam in the batch emitted <end> (identical captions —
@@ -51,6 +52,16 @@ class Captioner:
         skipped tail is provably a no-op; trained models skip ~half the
         25 steps).  Off by default: the reference always runs the full
         25 (rnn.py:39).
+
+        s2d serves through the host-emitted space-to-depth input path
+        (`bench.py --s2d`, +0.9% headline, BENCH_GRID_r05): the native
+        decoder emits [112,112,12] uint8 directly (zero extra host
+        cost; PIL/cache paths relayout on the host), the device
+        preprocess runs in s2d coordinates, and conv1 refolds by the
+        by-name weight transform (models/resnet.py) — same pixels, same
+        conv, summation order shifts by ≤2e-4 in the encoder (argmax-
+        robust; identical captions by test, tests/test_serve.py).
+        Same bytes over H2D.
 
         dp > 1 shards serving batches over the mesh's dp axis (the
         v5e-8 scale-out path; params replicated along dp).  mp > 1
@@ -63,6 +74,7 @@ class Captioner:
         self.cfg = cfg
         self.vocab = vocab
         self.early_exit = early_exit
+        self.s2d = s2d
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
         cast = lambda t: jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
@@ -114,6 +126,7 @@ class Captioner:
         dp: int = 1,
         mp: int = 1,
         early_exit: bool = False,
+        s2d: bool = False,
         **cfg_kw,
     ) -> "Captioner":
         """Load either our pickle checkpoint or a reference torch .ckpt."""
@@ -136,7 +149,8 @@ class Captioner:
             **cfg_kw,
         )
         params, bn_state = cls._load_any_checkpoint(ckpt_path, cfg)
-        return cls(params, bn_state, cfg, vocab, compute_dtype, dp=dp, mp=mp, early_exit=early_exit)
+        return cls(params, bn_state, cfg, vocab, compute_dtype, dp=dp, mp=mp,
+                   early_exit=early_exit, s2d=s2d)
 
     @staticmethod
     def _load_any_checkpoint(ckpt_path: str, cfg: CaptionerConfig):
@@ -188,9 +202,16 @@ class Captioner:
 
             @jax.jit
             def run(images_u8):
-                images = preprocess_images(
-                    images_u8, jax.random.PRNGKey(0), augment=False, dtype=self._dtype
-                )
+                if self.s2d:
+                    from show_tell_tpu.data.transforms import preprocess_images_s2d
+
+                    images = preprocess_images_s2d(
+                        images_u8, jax.random.PRNGKey(0), augment=False, dtype=self._dtype
+                    )
+                else:
+                    images = preprocess_images(
+                        images_u8, jax.random.PRNGKey(0), augment=False, dtype=self._dtype
+                    )
                 if beam_size > 0:
                     feats, _ = encoder_forward(
                         self.params["encoder"], self.bn_state, cfg.encoder_config(), images, training=False
@@ -236,8 +257,8 @@ class Captioner:
         return jnp.asarray(images_u8)
 
     def caption_ids(self, images_u8, beam_size: int = 0) -> np.ndarray:
-        """uint8 [B,224,224,3] (host numpy or pre-``stage``d device
-        array) -> token ids [B, max_caption_length]."""
+        """uint8 [B,224,224,3] ([B,112,112,12] under s2d; host numpy or
+        pre-``stage``d device array) -> token ids [B, max_caption_length]."""
         images = images_u8 if isinstance(images_u8, jax.Array) else self.stage(images_u8)
         return np.asarray(self._decode_fn(beam_size)(images))
 
@@ -248,24 +269,33 @@ class Captioner:
         words = create_caption_word_format(ids, self.vocab, False)
         return [" ".join(w) for w in words]
 
-    def load_files(self, paths: Sequence[str], fast_jpeg: bool = False) -> np.ndarray:
-        """JPEG file paths -> uint8 [N,224,224,3] (native decode if built).
+    def load_files(
+        self, paths: Sequence[str], fast_jpeg: bool = False, rgb: bool = False
+    ) -> np.ndarray:
+        """JPEG file paths -> uint8 in the Captioner's serving layout:
+        [N,224,224,3], or [N,112,112,12] under s2d (the native decoder
+        emits it directly; PIL-fallback rows relayout on the host).
+        rgb=True forces the RGB layout regardless of s2d — the
+        layout-stable form the serve image cache stores.
 
         fast_jpeg: DCT-domain scaled decode — ~2x faster on the host,
         pixels within a few LSB of the full-resolution decode (see
         docs/DATA.md "JPEG decode paths")."""
         from show_tell_tpu.native import fastimage
 
+        s2d = self.s2d and not rgb
         if fastimage.is_available():
             bufs = [open(p, "rb").read() for p in paths]
             batch, statuses = fastimage.decode_resize_batch(
-                bufs, IMAGE_SIZE, IMAGE_SIZE, fast_scale=fast_jpeg
+                bufs, IMAGE_SIZE, IMAGE_SIZE, fast_scale=fast_jpeg, s2d=s2d
             )
             for i, s in enumerate(statuses):
                 if s != 0:  # fall back to PIL for odd files
-                    batch[i] = self._pil_load(paths[i])
+                    row = self._pil_load(paths[i])
+                    batch[i] = _to_s2d(row[None])[0] if s2d else row
             return batch
-        return np.stack([self._pil_load(p) for p in paths])
+        batch = np.stack([self._pil_load(p) for p in paths])
+        return _to_s2d(batch) if s2d else batch
 
     def caption_files(
         self, paths: Sequence[str], beam_size: int = 0, fast_jpeg: bool = False
@@ -281,19 +311,31 @@ class Captioner:
         return np.asarray(img, dtype=np.uint8)
 
 
+def _to_s2d(batch_rgb: np.ndarray) -> np.ndarray:
+    """uint8 [B,224,224,3] -> [B,112,112,12] on the host (numpy
+    relayout; same bytes — see data/transforms.host_space_to_depth)."""
+    from show_tell_tpu.data.transforms import host_space_to_depth
+
+    return host_space_to_depth(batch_rgb)
+
+
 def _load_with_cache(captioner: Captioner, paths, cache, fast_jpeg: bool) -> np.ndarray:
     """load_files with optional ServeImageCache: cached rows are served
-    from .npy, only the misses hit the JPEG decoder (and are cached)."""
+    from .npy, only the misses hit the JPEG decoder (and are cached).
+    The cache always stores the RGB layout (layout-stable across s2d
+    and stock Captioners sharing one cache dir); an s2d Captioner
+    relayouts the assembled batch on the host."""
     if cache is None:
         return captioner.load_files(paths, fast_jpeg=fast_jpeg)
     out = [cache.get(p) for p in paths]
     miss = [i for i, a in enumerate(out) if a is None]
     if miss:
-        decoded = captioner.load_files([paths[i] for i in miss], fast_jpeg=fast_jpeg)
+        decoded = captioner.load_files([paths[i] for i in miss], fast_jpeg=fast_jpeg, rgb=True)
         for j, i in enumerate(miss):
             out[i] = decoded[j]
             cache.put(paths[i], decoded[j])
-    return np.stack(out)
+    batch = np.stack(out)
+    return _to_s2d(batch) if captioner.s2d else batch
 
 
 def caption_paths(
@@ -377,6 +419,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--nos_cnn_filters", type=int, default=0, help="attention variants: encoder channels the checkpoint was trained with (0 = the backbone's native width, 2048 for ResNet-50/101/152, 512 for 18/34 — the reference default)")
     p.add_argument("--attn_dim", type=int, default=512, help="attention variants: attention hidden dim the checkpoint was trained with (reference default 512)")
     p.add_argument("--early_exit", type=int, default=0, help="stop decode (greedy or beam) when every sequence/beam emitted <end>; identical output")
+    p.add_argument("--s2d", type=int, default=0, help="host-emitted space-to-depth input path (relayout-free stem; identical captions, bench.py --s2d A/B)")
     p.add_argument("--fast_jpeg", type=int, default=0, help="DCT-domain scaled JPEG decode (~2x host decode speed)")
     p.add_argument("--image_cache", default="", help="decoded-image cache dir (.npy per image keyed by path+size+mtime: stale entries re-decode automatically; shareable across serve runs)")
     p.add_argument("--json", action="store_true", help='emit {"image": ..., "caption": ...} JSON lines')
@@ -419,6 +462,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         dp=args.dp,
         mp=args.mp,
         early_exit=bool(args.early_exit),
+        s2d=bool(args.s2d),
         **cfg_kw,
     )
 

@@ -631,3 +631,101 @@ def test_serve_cli_missing_image_path(capsys):
                "/no/such/image.jpg"])
     assert rc == 2
     assert "does not exist" in capsys.readouterr().err
+
+
+def _gru_cap(trained, **kw):
+    data_root, out_dir = trained
+    return Captioner.from_checkpoint(
+        os.path.join(out_dir, "model_1.ckpt"),
+        os.path.join(out_dir, "vocab.pkl"),
+        variant="gru", resnet_version=18, embed_dim=16,
+        hidden_dim=24, num_layers=1, compute_dtype="float32", **kw,
+    )
+
+
+def test_captioner_s2d_same_captions(trained):
+    """Captioner(s2d=True): the host-emitted space-to-depth input path
+    (native emitter / host relayout + preprocess_images_s2d + the conv1
+    refold, bench.py --s2d) decodes the SAME caption ids as the stock
+    [224,224,3] path — same pixels through an exactly-equivalent conv,
+    so only ≤2e-4 summation-order shifts reach the argmax."""
+    from show_tell_tpu.data.transforms import host_space_to_depth
+
+    stock = _gru_cap(trained)
+    s2d = _gru_cap(trained, s2d=True)
+    images = np.random.RandomState(3).randint(0, 255, (4, 224, 224, 3), dtype=np.uint8)
+    ids_stock = stock.caption_ids(images)
+    ids_s2d = s2d.caption_ids(host_space_to_depth(images))
+    np.testing.assert_array_equal(ids_s2d, ids_stock)
+    # beam decode rides the same encoder features
+    np.testing.assert_array_equal(
+        s2d.caption_ids(host_space_to_depth(images), beam_size=2),
+        stock.caption_ids(images, beam_size=2),
+    )
+
+
+def test_captioner_s2d_load_files_and_cache(trained):
+    """load_files emits the s2d layout (native decode or PIL+relayout);
+    the serve image cache stays RGB so one cache dir serves stock AND
+    s2d Captioners, with identical captions out of both."""
+    import tempfile
+
+    from show_tell_tpu.serve import caption_paths
+
+    data_root, out_dir = trained
+    img_dir = os.path.join(data_root, "train2014")
+    paths = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))[:3]]
+
+    stock = _gru_cap(trained)
+    s2d = _gru_cap(trained, s2d=True)
+    assert s2d.load_files(paths).shape == (3, 112, 112, 12)
+    assert s2d.load_files(paths, rgb=True).shape == (3, 224, 224, 3)
+    np.testing.assert_array_equal(s2d.load_files(paths, rgb=True), stock.load_files(paths))
+
+    from show_tell_tpu.data.serve_cache import ServeImageCache
+    from show_tell_tpu.serve import IMAGE_SIZE
+
+    with tempfile.TemporaryDirectory() as cache_dir:
+        # prime the cache through the STOCK captioner, read it back s2d
+        cache = ServeImageCache(cache_dir, IMAGE_SIZE)
+        out_stock = list(caption_paths(stock, paths, batch_size=4, cache=cache))
+        out_s2d = list(caption_paths(s2d, paths, batch_size=4, cache=cache))
+        assert out_s2d == out_stock
+    # PIL fallback path: s2d output == host relayout of the same PIL
+    # pixels (cross-decoder pixel equality is NOT asserted — libjpeg
+    # and PIL decode a few LSB apart, docs/DATA.md).
+    import show_tell_tpu.native.fastimage as fi
+
+    from show_tell_tpu.data.transforms import host_space_to_depth
+
+    orig = fi.is_available
+    fi.is_available = lambda: False
+    try:
+        pil_s2d = s2d.load_files(paths)
+        pil_rgb = s2d.load_files(paths, rgb=True)
+    finally:
+        fi.is_available = orig
+    assert pil_s2d.shape == (3, 112, 112, 12)
+    np.testing.assert_array_equal(pil_s2d, host_space_to_depth(pil_rgb))
+
+
+def test_serve_cli_s2d(trained, capsys):
+    """--s2d through the deployment CLI produces the same captions as
+    the stock run."""
+    from show_tell_tpu.serve import main as serve_main
+
+    data_root, out_dir = trained
+    img_dir = os.path.join(data_root, "train2014")
+    three = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))[:3]]
+    common = [
+        "--ckpt", os.path.join(out_dir, "model_1.ckpt"),
+        "--vocab", os.path.join(out_dir, "vocab.pkl"),
+        "--variant", "gru", "--resnet_version", "18",
+        "--embedding_length", "16", "--num_hidden_units", "24",
+        "--num_layers", "1", "--compute_dtype", "float32",
+        "--batch_size", "4",
+    ]
+    assert serve_main(three + common) == 0
+    stock_out = capsys.readouterr().out
+    assert serve_main(three + common + ["--s2d", "1"]) == 0
+    assert capsys.readouterr().out == stock_out
