@@ -333,17 +333,19 @@ def bench_decode():
 
     # Fused attention beam step (whole per-hypothesis step in one
     # invocation, dense logits out) vs the previous best (context
-    # kernel), T=200 amplification; baseline column = composite.
-    print("Attention GRU beam-3, T=200, fused step vs context-kernel composite:")
-    for B in (128,):
+    # kernel), T=200 amplification; baseline column = composite.  Both
+    # published widths (BASELINE.json configs x beam widths 3/5).
+    print("Attention GRU beam, T=200, fused step vs context-kernel composite:")
+    for K in (3, 5):
+        B = 128
         acfg = AttnDecoderConfig("gru", 512, 2048, 512, 512, V, L, max_caption_length=200)
         ap = jax.tree.map(lambda a: a.astype(bf), init_attn_decoder_params(jax.random.PRNGKey(2), acfg))
         feat_set = variants(jnp.zeros((B, 2048, 49), bf))
-        comp_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, use_pallas=True, fused_step=False))
-        fused_fn = jax.jit(lambda f: attn_beam_search_decode(ap, acfg, f, 3, fused_step="dense"))
+        comp_fn = jax.jit(lambda f, K=K: attn_beam_search_decode(ap, acfg, f, K, use_pallas=True, fused_step=False))
+        fused_fn = jax.jit(lambda f, K=K: attn_beam_search_decode(ap, acfg, f, K, fused_step="dense"))
         t_c, t_f = timeit(comp_fn, feat_set), timeit(fused_fn, feat_set)
-        record("attn_beam3_fused_t200", B, t_c, t_f)
-        print(f"  B={B}: composite {t_c*1e3:7.2f} ms   FUSED {t_f*1e3:7.2f} ms   ({t_c/t_f:.2f}x)")
+        record(f"attn_beam{K}_fused_t200", B, t_c, t_f)
+        print(f"  K={K} B={B}: composite {t_c*1e3:7.2f} ms   FUSED {t_f*1e3:7.2f} ms   ({t_c/t_f:.2f}x)")
 
     print("early_exit while_loop vs fixed 25-step scan (GRU, B=256):")
     # Two bounding cases: a random model never emits <end> (the while_loop
